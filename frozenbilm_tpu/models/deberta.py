@@ -1,0 +1,507 @@
+"""DeBERTa-v2 masked LM with visual prefix tokens and bottleneck adapters —
+the FrozenBiLM flagship backbone, rebuilt TPU-first.
+
+Behavioral spec (reference antoyang/FrozenBiLM, model/deberta.py):
+  - video projection prepended to word embeddings        (deberta.py:989-1016)
+  - attention mask extended by video_mask concat          (deberta.py:1220-1225)
+  - disentangled attention with c2p/p2c log buckets       (deberta.py:655-947)
+  - adapters after attention-output and FF-output dense   (deberta.py:250-259, 324-333)
+  - first-layer Conv1d branch                             (deberta.py:378-419, 549-550)
+  - Enhanced Mask Decoder: rerun last layer twice with
+    absolute-position-augmented queries                   (deberta.py:1382-1412)
+  - MLM head on word embeddings / answer-vocab scoring    (deberta.py:1473-1479, 1544-1558)
+  - answer embeddings = mean of non-pad token embeddings  (deberta.py:1358-1380)
+
+TPU-first design decisions (not translations):
+  - pure functions over dict pytrees; layers are *stacked* along a leading
+    axis and executed with lax.scan (fast compiles, natural pjit sharding)
+  - relative-position bucket tables are numpy constants folded at trace time
+  - masked softmax is a fused functional op (XSoftmax is a torch-autograd
+    memory hack the XLA compiler makes redundant)
+  - frozen/trainable split is a parameter partition (see train/partition),
+    not requires_grad mutation
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
+from frozenbilm_tpu.models.adapter import adapter_forward, init_adapter_params
+from frozenbilm_tpu.models.common import (
+    ACT2FN,
+    RngStream,
+    dropout,
+    embedding_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    merge_heads,
+    split_heads,
+)
+from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index, masked_softmax
+from frozenbilm_tpu.ops.rel_pos import build_c2p_p2c_indices
+
+
+class DebertaOutput(NamedTuple):
+    logits: jax.Array  # (B, L, vocab) in mlm mode, (B, L, n_ans) in answer mode
+    loss: Optional[jax.Array]
+    last_hidden_state: jax.Array  # final EMD hidden state (B, L, H)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_layer(key, cfg: DebertaV2Config, vt: VideoTextConfig):
+    keys = iter(jax.random.split(key, 16))
+    std = cfg.initializer_range
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    attn_self = {
+        "query_proj": linear_init(next(keys), h, h, std),
+        "key_proj": linear_init(next(keys), h, h, std),
+        "value_proj": linear_init(next(keys), h, h, std),
+    }
+    if cfg.relative_attention and not cfg.share_att_key:
+        if "c2p" in cfg.pos_att_type or "p2p" in cfg.pos_att_type:
+            attn_self["pos_key_proj"] = linear_init(next(keys), h, h, std)
+        if "p2c" in cfg.pos_att_type or "p2p" in cfg.pos_att_type:
+            attn_self["pos_query_proj"] = linear_init(next(keys), h, h, std)
+    attn_output = {
+        "dense": linear_init(next(keys), h, h, std),
+        "LayerNorm": layer_norm_init(h),
+    }
+    if vt.ds_factor_attn:
+        attn_output["adapter"] = init_adapter_params(next(keys), h, vt.ds_factor_attn)
+    ff_output = {
+        "dense": linear_init(next(keys), inter, h, std),
+        "LayerNorm": layer_norm_init(h),
+    }
+    if vt.ds_factor_ff:
+        ff_output["adapter"] = init_adapter_params(next(keys), h, vt.ds_factor_ff)
+    return {
+        "attention": {"self": attn_self, "output": attn_output},
+        "intermediate": {"dense": linear_init(next(keys), h, inter, std)},
+        "output": ff_output,
+    }
+
+
+def init_deberta_params(key, cfg: DebertaV2Config, vt: VideoTextConfig):
+    """Build the full parameter tree. Encoder layers are stacked on axis 0."""
+    keys = iter(jax.random.split(key, 16))
+    std = cfg.initializer_range
+    emb_size = cfg.effective_embedding_size
+    h = cfg.hidden_size
+
+    embeddings = {
+        "word_embeddings": embedding_init(
+            next(keys), cfg.vocab_size, emb_size, std, pad_idx=cfg.pad_token_id
+        ),
+        # Created even when position_biased_input=False: the EMD decoder
+        # consumes absolute position embeddings (deberta.py:966-969).
+        "position_embeddings": embedding_init(
+            next(keys), cfg.max_position_embeddings, emb_size, std
+        ),
+        "LayerNorm": layer_norm_init(h),
+    }
+    if cfg.type_vocab_size > 0:
+        embeddings["token_type_embeddings"] = embedding_init(
+            next(keys), cfg.type_vocab_size, emb_size, std
+        )
+    if emb_size != h:
+        embeddings["embed_proj"] = linear_init(next(keys), emb_size, h, std, bias=False)
+    if vt.features_dim:
+        embeddings["linear_video"] = linear_init(next(keys), vt.features_dim, h, std)
+
+    layer_keys = jax.random.split(next(keys), cfg.num_hidden_layers)
+    layers = jax.vmap(lambda k: _init_layer(k, cfg, vt))(layer_keys)
+
+    encoder = {"layers": layers}
+    if cfg.relative_attention:
+        span = cfg.pos_ebd_size
+        encoder["rel_embeddings"] = embedding_init(next(keys), span * 2, h, std)
+        if "layer_norm" in cfg.norm_rel_ebd:
+            encoder["LayerNorm"] = layer_norm_init(h)
+    if cfg.conv_kernel_size > 0:
+        ck = next(keys)
+        encoder["conv"] = {
+            "conv": {
+                # stored (width, in, out) for lax.conv 'WIO'
+                "kernel": jax.random.normal(ck, (cfg.conv_kernel_size, h, h)) * std,
+                "bias": jnp.zeros((h,)),
+            },
+            "LayerNorm": layer_norm_init(h),
+        }
+
+    lm_head = {
+        "dense": linear_init(next(keys), h, h, std),
+        "LayerNorm": layer_norm_init(h),
+        "bias": jnp.zeros((cfg.vocab_size,)),
+    }
+
+    params = {"embeddings": embeddings, "encoder": encoder, "lm_head": lm_head}
+    if vt.n_ans:
+        params["answers"] = {
+            "embeddings": embedding_init(next(keys), vt.n_ans, emb_size, std),
+            # Stays zero unless checkpoint-loaded: the reference's
+            # set_answer_embeddings writes a dead python attribute, so the
+            # effective bias is zeros / ckpt values (deberta.py:1347, 1375).
+            "bias": jnp.zeros((vt.n_ans,)),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Answer-vocabulary embedding module
+# ---------------------------------------------------------------------------
+
+
+def compute_answer_embeddings(word_embeddings: jax.Array, a2tok, pad_token_id: int = 0):
+    """Answer embedding = mean of its non-pad token embeddings (deberta.py:1358-1373).
+
+    a2tok: (n_ans, max_atokens) int token ids, padded with pad_token_id.
+    """
+    a2tok = jnp.asarray(a2tok)
+    valid = (a2tok != pad_token_id).astype(jnp.float32)  # (n_ans, T)
+    vecs = word_embeddings[a2tok]  # (n_ans, T, E)
+    summed = jnp.sum(vecs * valid[:, :, None], axis=1)
+    count = jnp.clip(jnp.sum(valid, axis=1, keepdims=True), 1, None)
+    return summed / count
+
+
+def set_answer_embeddings(params, a2tok, pad_token_id: int = 0):
+    """Functional analogue of model.set_answer_embeddings (deberta.py:1358-1380).
+
+    Returns a new parameter tree with the answer module resized/refreshed.
+    The answer bias is reset to zeros to match the reference's effective
+    behavior (its bias update is a dead attribute assignment; values stay
+    at init/ckpt state — see deberta.py:1375 quirk note in SURVEY.md §7.3).
+    """
+    emb = compute_answer_embeddings(params["embeddings"]["word_embeddings"], a2tok, pad_token_id)
+    n_ans = emb.shape[0]
+    old = params.get("answers")
+    if old is not None and old["bias"].shape[0] == n_ans:
+        bias = old["bias"]
+    else:
+        bias = jnp.zeros((n_ans,), dtype=emb.dtype)
+    new = dict(params)
+    new["answers"] = {"embeddings": emb, "bias": bias}
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _disentangled_attention(
+    p_self,
+    cfg: DebertaV2Config,
+    hidden_kv: jax.Array,
+    query_states: jax.Array,
+    mask_outer: jax.Array,  # (B, Lq, Lk) 1=attend
+    rel_emb: Optional[jax.Array],  # (2*span, H) already LayerNormed
+    rel_idx,  # (c2p_idx, p2c_idx) numpy (L, L) int32 or None
+    *,
+    deterministic: bool,
+    rngs: RngStream,
+):
+    """Content + c2p + p2c attention (deberta.py:717-947)."""
+    nh = cfg.num_attention_heads
+    q = split_heads(linear(p_self["query_proj"], query_states), nh)  # (B,H,Lq,d)
+    k = split_heads(linear(p_self["key_proj"], hidden_kv), nh)  # (B,H,Lk,d)
+    v = split_heads(linear(p_self["value_proj"], hidden_kv), nh)
+
+    scale_factor = 1 + len(cfg.pos_att_type)
+    scale = math.sqrt(q.shape[-1] * scale_factor)
+    scores = (
+        jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) / scale
+    )
+
+    if cfg.relative_attention and rel_emb is not None:
+        rel_emb = dropout(
+            rngs.next(), rel_emb, cfg.hidden_dropout_prob, deterministic
+        )  # pos_dropout (deberta.py:779)
+        if cfg.share_att_key:
+            pos_key = split_heads(linear(p_self["key_proj"], rel_emb[None]), nh)[0]
+            pos_query = split_heads(linear(p_self["query_proj"], rel_emb[None]), nh)[0]
+        else:
+            pos_key = (
+                split_heads(linear(p_self["pos_key_proj"], rel_emb[None]), nh)[0]
+                if "pos_key_proj" in p_self
+                else None
+            )
+            pos_query = (
+                split_heads(linear(p_self["pos_query_proj"], rel_emb[None]), nh)[0]
+                if "pos_query_proj" in p_self
+                else None
+            )
+        c2p_idx, p2c_idx = rel_idx
+        if "c2p" in cfg.pos_att_type:
+            # (B,H,Lq,2span) then Toeplitz gather along the bucket axis
+            c2p_full = jnp.einsum(
+                "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
+            )
+            c2p = jnp.take_along_axis(
+                c2p_full, jnp.asarray(c2p_idx)[None, None], axis=-1
+            )
+            scores = scores + c2p / scale
+        if "p2c" in cfg.pos_att_type:
+            p2c_full = jnp.einsum(
+                "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
+            )
+            p2c = jnp.take_along_axis(
+                p2c_full, jnp.asarray(p2c_idx)[None, None], axis=-1
+            )
+            scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+
+    probs = masked_softmax(scores, mask_outer[:, None, :, :])
+    probs = dropout(rngs.next(), probs, cfg.attention_probs_dropout_prob, deterministic)
+    ctx = jnp.einsum(
+        "bhij,bhjd->bhid", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return merge_heads(ctx)
+
+
+def _self_output(p_out, cfg, vt, hidden, input_tensor, *, deterministic, rngs, ds_factor):
+    """dense -> adapter -> dropout -> LayerNorm(x + input) (deberta.py:254-260)."""
+    hidden = linear(p_out["dense"], hidden)
+    if ds_factor and "adapter" in p_out:
+        hidden = adapter_forward(
+            p_out["adapter"],
+            hidden,
+            dropout_rate=vt.adapter_dropout,
+            deterministic=deterministic,
+            rng=rngs.next(),
+        )
+    hidden = dropout(rngs.next(), hidden, cfg.hidden_dropout_prob, deterministic)
+    return layer_norm(p_out["LayerNorm"], hidden + input_tensor, cfg.layer_norm_eps)
+
+
+def _layer_forward(
+    lp,
+    cfg: DebertaV2Config,
+    vt: VideoTextConfig,
+    hidden_kv: jax.Array,
+    mask_outer: jax.Array,
+    rel_emb,
+    rel_idx,
+    *,
+    query_states: Optional[jax.Array] = None,
+    deterministic: bool,
+    rngs: RngStream,
+):
+    """One transformer block (deberta.py:338-375)."""
+    q_in = hidden_kv if query_states is None else query_states
+    attn_ctx = _disentangled_attention(
+        lp["attention"]["self"], cfg, hidden_kv, q_in, mask_outer, rel_emb, rel_idx,
+        deterministic=deterministic, rngs=rngs,
+    )
+    attention_output = _self_output(
+        lp["attention"]["output"], cfg, vt, attn_ctx, q_in,
+        deterministic=deterministic, rngs=rngs, ds_factor=vt.ds_factor_attn,
+    )
+    inter = ACT2FN[cfg.hidden_act](linear(lp["intermediate"]["dense"], attention_output))
+    return _self_output(
+        lp["output"], cfg, vt, inter, attention_output,
+        deterministic=deterministic, rngs=rngs, ds_factor=vt.ds_factor_ff,
+    )
+
+
+def _conv_layer(p_conv, cfg, input_embeddings, residual_states, input_mask, *, deterministic, rngs):
+    """First-layer convolution branch (deberta.py:395-419)."""
+    out = jax.lax.conv_general_dilated(
+        input_embeddings,
+        p_conv["conv"]["kernel"].astype(input_embeddings.dtype),
+        window_strides=(1,),
+        padding=[((cfg.conv_kernel_size - 1) // 2,) * 2],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + p_conv["conv"]["bias"]
+    out = out * input_mask[:, :, None].astype(out.dtype)
+    out = ACT2FN[cfg.conv_act](dropout(rngs.next(), out, cfg.hidden_dropout_prob, deterministic))
+    output = layer_norm(p_conv["LayerNorm"], residual_states + out, cfg.layer_norm_eps)
+    return output * input_mask[:, :, None].astype(output.dtype)
+
+
+def _get_rel_embedding(enc_params, cfg):
+    if not cfg.relative_attention:
+        return None
+    rel = enc_params["rel_embeddings"]
+    if "layer_norm" in cfg.norm_rel_ebd:
+        rel = layer_norm(enc_params["LayerNorm"], rel, cfg.layer_norm_eps)
+    return rel
+
+
+def _encoder_forward(
+    enc_params, cfg, vt, hidden, attention_mask, *, deterministic, rng
+):
+    """Run all layers; returns (final_hidden, input_to_last_layer).
+
+    Layer 0 (and its conv branch) runs unrolled; layers 1..N-1 run under
+    lax.scan over stacked params for fast compiles.
+    """
+    input_mask = attention_mask
+    mask_outer = (attention_mask[:, :, None] * attention_mask[:, None, :]).astype(jnp.int32)
+    rel_emb = _get_rel_embedding(enc_params, cfg)
+    L = hidden.shape[1]
+    rel_idx = build_c2p_p2c_indices(
+        L, cfg.pos_ebd_size, cfg.position_buckets, cfg.effective_max_relative_positions
+    )
+
+    layers = enc_params["layers"]
+    n_layers = cfg.num_hidden_layers
+    layer0 = jax.tree.map(lambda x: x[0], layers)
+    rest = jax.tree.map(lambda x: x[1:], layers)
+
+    rngs0 = RngStream(rng)
+    out0 = _layer_forward(
+        layer0, cfg, vt, hidden, mask_outer, rel_emb, rel_idx,
+        deterministic=deterministic, rngs=rngs0,
+    )
+    if cfg.conv_kernel_size > 0 and "conv" in enc_params:
+        out0 = _conv_layer(
+            enc_params["conv"], cfg, hidden, out0, input_mask,
+            deterministic=deterministic, rngs=rngs0,
+        )
+
+    def step(carry, lp):
+        h, key = carry
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        out = _layer_forward(
+            lp, cfg, vt, h, mask_outer, rel_emb, rel_idx,
+            deterministic=deterministic, rngs=RngStream(sub),
+        )
+        return (out, key), h  # ys collect each layer's *input*
+
+    scan_key = rngs0.next()
+    (final, _), layer_inputs = jax.lax.scan(step, (out0, scan_key), rest)
+    # input to the last layer == last collected carry (encoder_layers[-2])
+    hidden_minus2 = layer_inputs[-1] if n_layers > 1 else hidden
+    return final, hidden_minus2, mask_outer, rel_emb, rel_idx
+
+
+def _emd_context_layer(
+    enc_params, cfg, vt, hidden_minus2, pos_embeddings, mask_outer, rel_emb, rel_idx,
+    *, deterministic, rng,
+):
+    """Enhanced Mask Decoder: rerun the last layer twice, queries carry
+    absolute position information (deberta.py:1382-1412)."""
+    last_layer = jax.tree.map(lambda x: x[-1], enc_params["layers"])
+    query_states = pos_embeddings[None].astype(hidden_minus2.dtype) + hidden_minus2
+    rngs = RngStream(rng)
+    for _ in range(2):
+        query_states = _layer_forward(
+            last_layer, cfg, vt, hidden_minus2, mask_outer, rel_emb, rel_idx,
+            query_states=query_states, deterministic=deterministic, rngs=rngs,
+        )
+    return query_states
+
+
+def _lm_head(p_head, cfg, hidden, embedding_weight, bias):
+    """dense -> act -> LayerNorm -> embedding matmul + bias (deberta.py:1544-1558)."""
+    h = linear(p_head["dense"], hidden)
+    h = ACT2FN[cfg.hidden_act](h)
+    h = layer_norm(p_head["LayerNorm"], h, cfg.layer_norm_eps)
+    logits = jnp.dot(
+        h, embedding_weight.T.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    return logits + bias.astype(logits.dtype)
+
+
+def deberta_forward(
+    params,
+    cfg: DebertaV2Config,
+    vt: VideoTextConfig,
+    input_ids: jax.Array,  # (B, T)
+    attention_mask: Optional[jax.Array] = None,  # (B, T) 1=real token
+    video: Optional[jax.Array] = None,  # (B, F, features_dim)
+    video_mask: Optional[jax.Array] = None,  # (B, F)
+    labels: Optional[jax.Array] = None,  # (B, T), -100 = ignore
+    *,
+    mlm: bool = False,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> DebertaOutput:
+    """Full forward pass (deberta.py:1414-1501).
+
+    In answer mode (params has 'answers' and mlm=False) logits are scored
+    against the answer-vocabulary embedding module; otherwise against the
+    word-embedding table (full-vocab MLM).
+    """
+    B, T = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), dtype=jnp.int32)
+
+    emb_p = params["embeddings"]
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        if video_mask is None:
+            video_mask = jnp.ones(video.shape[:2], dtype=jnp.int32)
+        attention_mask = jnp.concatenate(
+            [video_mask.astype(attention_mask.dtype), attention_mask], axis=1
+        )
+
+    rngs = RngStream(rng)
+
+    # --- embeddings (deberta.py:997-1058) ---
+    words = emb_p["word_embeddings"][input_ids]
+    if use_video:
+        video_emb = linear(emb_p["linear_video"], video.astype(words.dtype))
+        x = jnp.concatenate([video_emb, words], axis=1)
+    else:
+        x = words
+    L = x.shape[1]
+    pos_embeddings = emb_p["position_embeddings"][:L]
+    if cfg.position_biased_input:
+        x = x + pos_embeddings[None]
+    if cfg.type_vocab_size > 0:
+        x = x + emb_p["token_type_embeddings"][0][None, None, :]
+    if cfg.effective_embedding_size != cfg.hidden_size:
+        x = linear(emb_p["embed_proj"], x)
+    x = layer_norm(emb_p["LayerNorm"], x, cfg.layer_norm_eps)
+    x = x * attention_mask[:, :, None].astype(x.dtype)
+    x = dropout(rngs.next(), x, cfg.hidden_dropout_prob, deterministic)
+
+    # --- encoder ---
+    final, hidden_minus2, mask_outer, rel_emb, rel_idx = _encoder_forward(
+        params["encoder"], cfg, vt, x, attention_mask,
+        deterministic=deterministic, rng=rngs.next(),
+    )
+
+    # --- Enhanced Mask Decoder (only when no absolute positions in input) ---
+    if not cfg.position_biased_input:
+        decoded = _emd_context_layer(
+            params["encoder"], cfg, vt, hidden_minus2, pos_embeddings, mask_outer,
+            rel_emb, rel_idx, deterministic=deterministic, rng=rngs.next(),
+        )
+    else:
+        decoded = final
+
+    # --- head ---
+    answers = params.get("answers")
+    if answers is not None and not mlm:
+        logits = _lm_head(params["lm_head"], cfg, decoded, answers["embeddings"], answers["bias"])
+    else:
+        logits = _lm_head(
+            params["lm_head"], cfg, decoded,
+            emb_p["word_embeddings"], params["lm_head"]["bias"],
+        )
+
+    loss = None
+    if labels is not None:
+        if use_video:
+            video_labels = jnp.full(video.shape[:2], -100, dtype=labels.dtype)
+            labels = jnp.concatenate([video_labels, labels], axis=1)
+        loss = cross_entropy_ignore_index(logits, labels)
+
+    return DebertaOutput(logits=logits, loss=loss, last_hidden_state=decoded)

@@ -1,0 +1,74 @@
+"""DeBERTa log-bucketed relative positions.
+
+Behavioral spec: reference model/deberta.py:578-618
+(make_log_bucket_position, build_relative_position).
+
+TPU-first note: sequence lengths are static under jit, so these tables are
+computed in plain numpy at trace time and become compile-time constants —
+no device gathers or dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def make_log_bucket_position(
+    relative_pos: np.ndarray, bucket_size: int, max_position: int
+) -> np.ndarray:
+    """Map signed relative positions to log buckets.
+
+    Positions within (-mid, mid) stay linear; farther positions are spaced
+    logarithmically up to max_position (deberta.py:578-589).
+    """
+    relative_pos = np.asarray(relative_pos)
+    sign = np.sign(relative_pos)
+    mid = bucket_size // 2
+    abs_pos = np.where(
+        (relative_pos < mid) & (relative_pos > -mid), mid - 1, np.abs(relative_pos)
+    )
+    # Guard log of zero: abs_pos >= mid-1 >= 1 for any bucket_size >= 4.
+    log_pos = (
+        np.ceil(np.log(abs_pos / mid) / np.log((max_position - 1) / mid) * (mid - 1))
+        + mid
+    )
+    bucket_pos = np.where(abs_pos <= mid, relative_pos, log_pos * sign).astype(np.int64)
+    return bucket_pos
+
+
+@functools.lru_cache(maxsize=64)
+def build_relative_position(
+    query_size: int, key_size: int, bucket_size: int = -1, max_position: int = -1
+) -> np.ndarray:
+    """Relative position table rel[i, j] = bucket(i - j), shape (query, key).
+
+    Reference deberta.py:592-618 (the leading singleton batch dim is dropped;
+    callers broadcast as needed). Cached: the table depends only on static
+    shapes and config.
+    """
+    q_ids = np.arange(query_size)
+    k_ids = np.arange(key_size)
+    rel = q_ids[:, None] - k_ids[None, :]
+    if bucket_size > 0 and max_position > 0:
+        rel = make_log_bucket_position(rel, bucket_size, max_position)
+    return rel.astype(np.int64)
+
+
+@functools.lru_cache(maxsize=64)
+def build_c2p_p2c_indices(
+    seq_len: int, att_span: int, bucket_size: int, max_position: int
+):
+    """Precompute the clamped gather indices used by disentangled attention.
+
+    c2p[i, j] = clamp(bucket(i - j) + att_span, 0, 2*att_span - 1)
+    p2c[j, i] = clamp(att_span - bucket(j - i), 0, 2*att_span - 1)
+
+    Reference deberta.py:873 (c2p_pos) and :897 (p2c_pos). Returned as numpy
+    int32 so they fold into the compiled program as constants.
+    """
+    rel = build_relative_position(seq_len, seq_len, bucket_size, max_position)
+    c2p = np.clip(rel + att_span, 0, att_span * 2 - 1).astype(np.int32)
+    p2c = np.clip(-rel + att_span, 0, att_span * 2 - 1).astype(np.int32)
+    return c2p, p2c

@@ -1,0 +1,63 @@
+"""Test-only loader for the upstream reference implementation (read-only at
+/root/reference) to generate golden parity fixtures.
+
+The reference targets transformers 4.17 / older numpy; tiny shims make it
+importable under the modern stack without modifying it:
+  - np.int alias (removed in numpy 1.24; used by deberta.py:588)
+  - stub 'model' package so model/__init__.py (which imports stale
+    transformers symbols for bert) never executes
+  - @dataclass applied to its custom ModelOutput subclass
+"""
+
+import dataclasses
+import importlib
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _ensure_pkg():
+    if not hasattr(np, "int"):
+        np.int = int  # noqa: NPY001
+    if "model" not in sys.modules or not getattr(sys.modules["model"], "__frozenbilm_stub__", False):
+        pkg = types.ModuleType("model")
+        pkg.__path__ = [f"{REFERENCE_PATH}/model"]
+        pkg.__frozenbilm_stub__ = True
+        sys.modules["model"] = pkg
+
+
+def load_reference_deberta():
+    _ensure_pkg()
+    mod = importlib.import_module("model.deberta")
+    if not dataclasses.is_dataclass(mod.BaseModelOutput):
+        mod.BaseModelOutput = dataclasses.dataclass(mod.BaseModelOutput)
+    return mod
+
+
+def load_reference_bert():
+    _ensure_pkg()
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    # transformers moved these helpers out of modeling_utils after 4.17.
+    for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices", "prune_linear_layer"):
+        if not hasattr(mu, name) and hasattr(pu, name):
+            setattr(mu, name, getattr(pu, name))
+    if not hasattr(mu, "apply_chunking_to_forward"):
+        def apply_chunking_to_forward(forward_fn, chunk_size, chunk_dim, *input_tensors):
+            return forward_fn(*input_tensors)
+
+        mu.apply_chunking_to_forward = apply_chunking_to_forward
+    return importlib.import_module("model.bert")
+
+
+def load_reference_misc():
+    _ensure_pkg()
+    if "util" not in sys.modules:
+        pkg = types.ModuleType("util")
+        pkg.__path__ = [f"{REFERENCE_PATH}/util"]
+        sys.modules["util"] = pkg
+    return importlib.import_module("util.misc")

@@ -1,0 +1,116 @@
+"""Unit tests for core ops against reference semantics (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frozenbilm_tpu.ops.masking import (
+    cross_entropy_ignore_index,
+    get_mask,
+    masked_softmax,
+    mlm_corrupt,
+)
+from frozenbilm_tpu.ops.rel_pos import build_relative_position, make_log_bucket_position
+
+
+def test_get_mask_matches_reference():
+    import torch
+
+    from tests.reference_loader import load_reference_misc
+
+    misc = load_reference_misc()
+    lengths = np.array([0, 1, 3, 5])
+    ref = misc.get_mask(torch.tensor(lengths), 5).numpy()
+    ours = np.asarray(get_mask(jnp.asarray(lengths), 5))
+    np.testing.assert_array_equal(ref, ours)
+
+
+def test_masked_softmax_matches_torch_xsoftmax_semantics():
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 6, 6)).astype(np.float32)
+    mask = (rng.random((2, 1, 6, 6)) > 0.3).astype(np.int32)
+    mask[0, :, 2, :] = 0  # fully-masked row
+
+    tx = torch.tensor(x)
+    rmask = ~torch.tensor(mask).bool().expand_as(tx)
+    ref = torch.softmax(tx.masked_fill(rmask, float("-inf")), -1)
+    ref = ref.masked_fill(rmask, 0).numpy()
+    ref = np.nan_to_num(ref)  # torch leaves NaN rows; ref zeroes masked entries
+
+    ours = np.asarray(masked_softmax(jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(ref, ours, atol=1e-6)
+    assert not np.isnan(ours).any()
+
+
+def test_masked_softmax_grad_finite():
+    x = jnp.ones((2, 4, 4))
+    mask = jnp.array([[1, 1, 0, 0], [0, 0, 0, 0]])[:, None, :] * jnp.ones((2, 4, 4), jnp.int32)
+    g = jax.grad(lambda s: masked_softmax(s, mask).sum())(x)
+    assert jnp.isfinite(g).all()
+
+
+def test_log_bucket_positions_match_reference():
+    from tests.reference_loader import load_reference_deberta
+
+    ref_mod = load_reference_deberta()
+    for (q, k, bucket, maxp) in [(16, 16, 8, 64), (266, 266, 256, 512), (5, 9, 4, 32)]:
+        ref = ref_mod.build_relative_position(q, k, bucket, maxp).numpy()[0]
+        ours = build_relative_position(q, k, bucket, maxp)
+        np.testing.assert_array_equal(ref, ours)
+
+
+def test_log_bucket_symmetry():
+    rel = np.arange(-500, 501)
+    buck = make_log_bucket_position(rel, 256, 512)
+    np.testing.assert_array_equal(buck, -buck[::-1])  # sign-symmetric
+    assert buck.max() <= 256 and buck.min() >= -256
+
+
+def test_mlm_corrupt_statistics():
+    rng = jax.random.PRNGKey(0)
+    B, T, V = 64, 128, 1000
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 5, V)
+    special = jnp.zeros((B, T), jnp.int32).at[:, 0].set(1)
+    corrupted, labels = mlm_corrupt(
+        rng, ids, special, mask_token_id=4, vocab_size=V, pad_token_id=0,
+        mlm_probability=0.15,
+    )
+    sel = labels != -100
+    frac_selected = sel.mean()
+    assert 0.13 < frac_selected < 0.17
+    # selected positions: ~80% [MASK], ~10% random, ~10% unchanged
+    masked = (corrupted == 4) & sel
+    unchanged = (corrupted == ids) & sel
+    assert 0.75 < masked.sum() / sel.sum() < 0.85
+    assert 0.06 < unchanged.sum() / sel.sum() < 0.14
+    # special positions are never selected
+    assert not sel[:, 0].any()
+    # non-selected positions untouched
+    assert bool(jnp.all(jnp.where(~sel, corrupted == ids, True)))
+
+
+def test_cross_entropy_ignore_index_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, 7, 11)).astype(np.float32)
+    labels = rng.integers(0, 11, size=(4, 7))
+    labels[0, :3] = -100
+    labels[2] = -100
+
+    ref = torch.nn.CrossEntropyLoss()(
+        torch.tensor(logits).view(-1, 11), torch.tensor(labels).view(-1)
+    ).item()
+    ours = float(cross_entropy_ignore_index(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(ref - ours) < 1e-6
+
+
+def test_mask_fill_value_flushes_to_zero():
+    # exp(_MASK_FILL - max) must be exactly 0.0 in f32 so masked positions
+    # carry exactly zero probability, like the reference's -inf fill.
+    out = masked_softmax(jnp.array([[5.0, -2.0, 3.0]]), jnp.array([[1, 0, 1]]))
+    assert float(out[0, 1]) == 0.0
+    np.testing.assert_allclose(float(out[0].sum()), 1.0, rtol=1e-6)
