@@ -1,0 +1,87 @@
+"""Frozen/trainable parameter partition.
+
+The reference freezes parameters by mutating requires_grad
+(deberta.py:1152-1158 for the backbone, :1334-1339 for the MLM head,
+:1348-1350 for the answer module; bert.py:547-553, 750-752, 758-762).
+TPU-first equivalent: split the parameter pytree into two trees by path
+predicate — the optimizer state exists only for the trainable tree, and the
+frozen tree is a donated constant input to the jitted step.
+
+Trainable when freeze_lm (the FrozenBiLM regime):
+  - embeddings.linear_video.*          (visual projection)
+  - *.adapter.*                        (bottleneck adapters)
+  - any *LayerNorm* leaf, iff ft_ln    (includes lm_head LayerNorm)
+  - answers.*, iff not freeze_last
+Whole groups unfreeze with ft_lm / ft_mlm (freeze_lm/freeze_mlm False).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+
+from frozenbilm_tpu.config import VideoTextConfig
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "idx"):
+            names.append(str(k.idx))
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def _is_trainable(names: Tuple[str, ...], vt: VideoTextConfig) -> bool:
+    joined = "/".join(names)
+    if names and names[0] == "answers":
+        return not vt.freeze_last
+    if "linear_video" in names:
+        return True
+    if "adapter" in joined:
+        return True
+    in_mlm_head = names and names[0] == "lm_head"
+    if in_mlm_head:
+        if not vt.freeze_mlm:
+            return True
+        return vt.ft_ln and "LayerNorm" in names
+    if not vt.freeze_lm:
+        return True
+    return vt.ft_ln and "LayerNorm" in names
+
+
+def trainable_mask(params: Dict, vt: VideoTextConfig) -> Dict:
+    """Boolean pytree: True where the leaf is trainable."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_trainable(_path_names(path), vt), params
+    )
+
+
+def partition_params(params: Dict, vt: VideoTextConfig):
+    """Split params into (trainable, frozen) trees with disjoint leaves.
+
+    Both trees keep the full nested structure; non-member leaves are None
+    (pruned from tree operations by treedef-aware maps below).
+    """
+    mask = trainable_mask(params, vt)
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    """Inverse of partition_params (leaf-wise: exactly one side is non-None)."""
+    return jax.tree.map(
+        lambda t, f: t if t is not None else f,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree) if x is not None)

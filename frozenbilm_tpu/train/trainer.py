@@ -1,0 +1,149 @@
+"""Jitted training/eval engine over a device mesh.
+
+TPU-native replacement for the reference's per-driver train loops
+(main.py:24-98, videoqa.py:25-115, mc.py:25-124):
+  - one jit-compiled train_step; MLM corruption happens *inside* the step
+  - frozen backbone is a separate donated-constant tree; optimizer state
+    exists only for the trainable partition (adapters + visual projection
+    + LayerNorms + answer module)
+  - data parallelism: batch sharded over the mesh 'data' axis, params
+    replicated; XLA inserts the gradient all-reduce. This is true synchronous
+    DP — the reference never syncs grads (SURVEY.md §2.5), which we treat as
+    a bug and fix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frozenbilm_tpu.parallel.mesh import DATA_AXIS
+from frozenbilm_tpu.train.partition import merge_params, partition_params
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    trainable: Dict
+    opt_state: Any
+
+
+# loss_fn(params, batch, rng) -> (loss, metrics_dict)
+LossFn = Callable[[Dict, Dict, Optional[jax.Array]], Tuple[jax.Array, Dict]]
+
+
+def create_train_state(params, vt, tx) -> Tuple[TrainState, Dict]:
+    trainable, frozen = partition_params(params, vt)
+    opt_state = tx.init(trainable)
+    return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen
+
+
+class Trainer:
+    """Wraps jitted train/eval steps with mesh shardings.
+
+    The same Trainer works single-chip (1-device mesh) and multi-chip; the
+    batch's leading dim must be divisible by the data-axis size.
+    """
+
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        tx: optax.GradientTransformation,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.loss_fn = loss_fn
+        self.tx = tx
+        self.mesh = mesh
+        rep = NamedSharding(mesh, P()) if mesh else None
+        data = NamedSharding(mesh, P(DATA_AXIS)) if mesh else None
+        jit_kw = {}
+        if mesh is not None:
+            jit_kw = dict(
+                in_shardings=(rep, rep, data, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        self._train_step = jax.jit(self._train_step_impl, **jit_kw)
+        eval_kw = {}
+        if mesh is not None:
+            eval_kw = dict(in_shardings=(rep, rep, data), out_shardings=rep)
+        self._eval_step = jax.jit(self._eval_step_impl, **eval_kw)
+
+    def _train_step_impl(self, state: TrainState, frozen, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def compute(trainable):
+            params = merge_params(trainable, frozen)
+            loss, metrics = self.loss_fn(params, batch, step_rng)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(state.trainable)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, trainable, opt_state)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, frozen, batch):
+        params = merge_params(state.trainable, frozen)
+        loss, metrics = self.loss_fn(params, batch, None)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    def train_step(self, state, frozen, batch, rng):
+        return self._train_step(state, frozen, batch, rng)
+
+    def eval_step(self, state, frozen, batch):
+        return self._eval_step(state, frozen, batch)
+
+
+def make_mlm_loss_fn(
+    forward_fn,
+    cfg,
+    vt,
+    *,
+    mask_token_id: int,
+    vocab_size: int,
+    pad_token_id: int = 0,
+    mlm_probability: float = 0.15,
+) -> LossFn:
+    """Cross-modal MLM objective: corrupt inside the step, forward, CE loss.
+
+    Reference: main.py:46-66 + util/misc.py:14-56, but the 80/10/10
+    corruption runs on-device under jit with threaded PRNG keys.
+    """
+    from frozenbilm_tpu.ops.masking import mlm_corrupt
+
+    def loss_fn(params, batch, rng):
+        deterministic = rng is None
+        if deterministic:
+            corrupt_rng = jax.random.PRNGKey(0)
+            fwd_rng = None
+        else:
+            corrupt_rng, fwd_rng = jax.random.split(rng)
+        input_ids, labels = mlm_corrupt(
+            corrupt_rng,
+            batch["input_ids"],
+            batch["special_tokens_mask"],
+            mask_token_id=mask_token_id,
+            vocab_size=vocab_size,
+            pad_token_id=pad_token_id,
+            mlm_probability=mlm_probability,
+        )
+        out = forward_fn(
+            params, cfg, vt,
+            input_ids, batch["attention_mask"],
+            batch.get("video"), batch.get("video_mask"),
+            labels=labels, mlm=True,
+            deterministic=deterministic, rng=fwd_rng,
+        )
+        return out.loss, {}
+
+    return loss_fn

@@ -1,0 +1,151 @@
+"""Trainer tests: partition correctness, DP-equality across mesh sizes
+(SURVEY.md §4 'Distributed: DP loss equality vs single-device'), and loss
+descent on a toy MLM task."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
+from frozenbilm_tpu.models.deberta import deberta_forward, init_deberta_params
+from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.partition import (
+    count_params,
+    merge_params,
+    partition_params,
+    trainable_mask,
+)
+from frozenbilm_tpu.train.trainer import Trainer, create_train_state, make_mlm_loss_fn
+
+CFG = DebertaV2Config(
+    vocab_size=120, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=64, max_position_embeddings=64, position_buckets=8,
+)
+VT = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=4, ds_factor_ff=4, n_ans=0)
+
+
+def _params():
+    return init_deberta_params(jax.random.PRNGKey(0), CFG, VT)
+
+
+def test_partition_respects_freeze_rules():
+    params = _params()
+    mask = trainable_mask(params, VT)
+    # visual projection + adapters + LayerNorms trainable
+    assert mask["embeddings"]["linear_video"]["kernel"]
+    assert mask["encoder"]["layers"]["attention"]["output"]["adapter"]["down"]["kernel"]
+    assert mask["embeddings"]["LayerNorm"]["weight"]
+    assert mask["lm_head"]["LayerNorm"]["weight"]
+    # backbone + head frozen
+    assert not mask["embeddings"]["word_embeddings"]
+    assert not mask["encoder"]["layers"]["attention"]["self"]["query_proj"]["kernel"]
+    assert not mask["lm_head"]["dense"]["kernel"]
+    assert not mask["lm_head"]["bias"]
+
+    trainable, frozen = partition_params(params, VT)
+    merged = merge_params(trainable, frozen)
+    assert count_params(merged) == count_params(params)
+    # trainable share should be small (the FrozenBiLM premise)
+    assert count_params(trainable) < 0.2 * count_params(params)
+
+
+def test_partition_ft_ln_false():
+    params = _params()
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=4,
+                         ds_factor_ff=4, ft_ln=False)
+    mask = trainable_mask(params, vt)
+    assert not mask["embeddings"]["LayerNorm"]["weight"]
+    assert not mask["lm_head"]["LayerNorm"]["weight"]
+    assert mask["encoder"]["layers"]["attention"]["output"]["adapter"]["down"]["kernel"]
+
+
+def _make_batch(n=8, t=12, f=4, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(5, 120, size=(n, t))
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((n, t), jnp.int32),
+        "special_tokens_mask": jnp.zeros((n, t), jnp.int32),
+        "video": jnp.asarray(rng.normal(size=(n, f, 16)).astype(np.float32)),
+        "video_mask": jnp.ones((n, f), jnp.int32),
+    }
+
+
+def _run_steps(mesh, n_steps=2, lr=1e-3):
+    params = _params()
+    tx = make_optimizer(make_schedule(lr, 100), clip_max_norm=0.1)
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4, vocab_size=120)
+    trainer = Trainer(loss_fn, tx, mesh=mesh)
+    state, frozen = create_train_state(params, VT, tx)
+    batch = _make_batch()
+    if mesh is not None:
+        batch = shard_batch(mesh, batch)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = trainer.train_step(state, frozen, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    return trainer, state, frozen, batch, losses
+
+
+def test_dp_equality_8dev_vs_1dev():
+    mesh8 = make_mesh(MeshSpec(data=8, model=1))
+    mesh1 = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    _, s8, _, _, l8 = _run_steps(mesh8)
+    _, s1, _, _, l1 = _run_steps(mesh1)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s8.trainable), jax.tree.leaves(s1.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_loss_decreases():
+    # eval on a fixed batch before/after training (corruption in eval mode is
+    # deterministic), so stochastic per-step masking can't flake the check
+    trainer, state, frozen, batch, _ = _run_steps(None, n_steps=0, lr=3e-3)
+    before = float(trainer.eval_step(state, frozen, batch)["loss"])
+    for _ in range(12):
+        state, _ = trainer.train_step(state, frozen, batch, jax.random.PRNGKey(42))
+    after = float(trainer.eval_step(state, frozen, batch)["loss"])
+    assert after < before
+
+
+def test_frozen_leaves_untouched():
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100))
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4, vocab_size=120)
+    trainer = Trainer(loss_fn, tx, mesh=mesh)
+    state, frozen = create_train_state(params, VT, tx)
+    word_emb_before = np.asarray(frozen["embeddings"]["word_embeddings"]).copy()
+    adapter_before = np.asarray(
+        state.trainable["encoder"]["layers"]["attention"]["output"]["adapter"]["down"]["kernel"]
+    ).copy()
+    batch = shard_batch(mesh, _make_batch())
+    state, _ = trainer.train_step(state, frozen, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        word_emb_before, np.asarray(frozen["embeddings"]["word_embeddings"])
+    )
+    adapter_after = np.asarray(
+        state.trainable["encoder"]["layers"]["attention"]["output"]["adapter"]["down"]["kernel"]
+    )
+    assert np.abs(adapter_after - adapter_before).max() > 0
+
+
+def test_lr_schedule_matches_reference():
+    import torch
+
+    from tests.reference_loader import load_reference_misc
+
+    misc = load_reference_misc()
+
+    class Args:
+        lr = 3e-4
+        schedule = "linear_with_warmup"
+        fraction_warmup_steps = 0.1
+
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=Args.lr)
+    sched = make_schedule(Args.lr, 100, "linear_with_warmup", 0.1)
+    for step in [0, 3, 9, 10, 11, 50, 99, 100]:
+        misc.adjust_learning_rate(opt, step, 100, Args)
+        ref_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(sched(step)), ref_lr, rtol=1e-6)
