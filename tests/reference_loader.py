@@ -11,6 +11,7 @@ importable under the modern stack without modifying it:
 
 import dataclasses
 import importlib
+import importlib.machinery
 import sys
 import types
 
@@ -19,14 +20,26 @@ import numpy as np
 REFERENCE_PATH = "/root/reference"
 
 
+def _stub_package(name: str, path: str) -> None:
+    """Register a package stub so the reference's __init__ never executes.
+
+    A real ModuleSpec is required: libraries probe importlib.util.find_spec
+    on common names (e.g. transformers checks for HF 'datasets')."""
+    if name in sys.modules and getattr(sys.modules[name], "__frozenbilm_stub__", False):
+        return
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [path]
+    spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+    spec.submodule_search_locations = [path]
+    pkg.__spec__ = spec
+    pkg.__frozenbilm_stub__ = True
+    sys.modules[name] = pkg
+
+
 def _ensure_pkg():
     if not hasattr(np, "int"):
         np.int = int  # noqa: NPY001
-    if "model" not in sys.modules or not getattr(sys.modules["model"], "__frozenbilm_stub__", False):
-        pkg = types.ModuleType("model")
-        pkg.__path__ = [f"{REFERENCE_PATH}/model"]
-        pkg.__frozenbilm_stub__ = True
-        sys.modules["model"] = pkg
+    _stub_package("model", f"{REFERENCE_PATH}/model")
 
 
 def load_reference_deberta():
@@ -54,10 +67,17 @@ def load_reference_bert():
     return importlib.import_module("model.bert")
 
 
+def load_reference_datasets():
+    """Import the reference dataset package (torch-based) for fixtures."""
+    _ensure_pkg()
+    _stub_package("datasets", f"{REFERENCE_PATH}/datasets")
+    vqa = importlib.import_module("datasets.videoqa_dataset")
+    mc = importlib.import_module("datasets.mc_dataset")
+    vt = importlib.import_module("datasets.videotext_dataset")
+    return vqa, mc, vt
+
+
 def load_reference_misc():
     _ensure_pkg()
-    if "util" not in sys.modules:
-        pkg = types.ModuleType("util")
-        pkg.__path__ = [f"{REFERENCE_PATH}/util"]
-        sys.modules["util"] = pkg
+    _stub_package("util", f"{REFERENCE_PATH}/util")
     return importlib.import_module("util.misc")
