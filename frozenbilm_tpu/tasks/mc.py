@@ -1,0 +1,251 @@
+"""Multiple-choice VideoQA driver (How2QA 4 candidates / TVQA 5).
+
+Mirrors reference mc.py (train :25, evaluate :125, main :234):
+  - n_ans=2 answer module built from {Yes, No} tokens (mc.py:252, 280-305)
+  - candidate prompt "Question: … Is it '<ai>'? [MASK]"; score =
+    softmax(mask logits)[:, 0] = P(Yes) (mc.py:49-72, 150-172)
+  - train loss = balanced BCE over positive/negative candidates (mc.py:75-92)
+  - prediction = argmax over candidates; hidden test sets (answer_id == -1)
+    dump {qid: pred} only (mc.py:173-207)
+
+TPU-first: the reference runs one full forward per candidate (mc x per
+batch); we fold the candidate loop into ONE batched forward of shape
+(B*mc, L) — video tiled per candidate — so the MXU sees a single large
+matmul stream and XLA compiles one program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import namedtuple
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import get_args_parser
+from frozenbilm_tpu.data.loader import DataLoader
+from frozenbilm_tpu.data.mc import build_mc_dataset, mc_collate
+from frozenbilm_tpu.data.tokenization import answers_to_token_ids, encode_batch, get_tokenizer
+from frozenbilm_tpu.models import ModelBundle, build_model
+from frozenbilm_tpu.ops.masking import get_mask
+from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.tasks.videoqa import mask_logits
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.partition import merge_params
+from frozenbilm_tpu.train.trainer import Trainer, create_train_state
+from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, load_params, save_params
+from frozenbilm_tpu.utils.metrics import MetricLogger
+
+MC_TYPE_MAPS = {"how2qa": None, "tvqa": None}
+
+
+def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
+    """Jitted candidate-batched steps. Inputs are candidate-major:
+    input_ids (mc, B, L) flattened to (mc*B, L); video tiled per candidate."""
+    cfg, vt = bundle.cfg, bundle.vt
+    delay = vt.max_feats if vt.features_dim else 0
+
+    def yes_prob(params, input_ids, attention_mask, video, video_mask):
+        mc, B, L = input_ids.shape
+        flat_ids = input_ids.reshape(mc * B, L)
+        flat_am = attention_mask.reshape(mc * B, L)
+        video_t = jnp.tile(video, (mc, 1, 1))
+        vmask_t = jnp.tile(video_mask, (mc, 1))
+        out = bundle.forward(params, cfg, vt, flat_ids, flat_am, video_t, vmask_t,
+                             mlm=False)
+        logits = mask_logits(out.logits, flat_ids, mask_token_id, delay)
+        p_yes = jax.nn.softmax(logits, axis=-1)[:, 0]
+        return p_yes.reshape(mc, B).T  # (B, mc)
+
+    def loss_fn(params, batch, rng):
+        del rng  # adapters' dropout handled by Trainer via forward rng later
+        probs = yes_prob(params, batch["input_ids"], batch["attention_mask"],
+                         batch["video"], batch["video_mask"])
+        gt = batch["answer_id"]
+        eps = 1e-7
+        probs_c = jnp.clip(probs, eps, 1 - eps)
+        if n_cand > 1:
+            pos = jnp.take_along_axis(probs_c, gt[:, None], axis=1)[:, 0]
+            pos_loss = -jnp.log(pos).mean()
+            neg_mask = jnp.ones_like(probs_c).at[jnp.arange(len(gt)), gt].set(0.0)
+            neg_loss = -(jnp.log(1 - probs_c) * neg_mask).sum() / neg_mask.sum()
+            loss = (pos_loss + neg_loss) / 2  # balanced BCE (mc.py:75-92)
+        else:
+            g = gt.astype(jnp.float32)
+            loss = -(g * jnp.log(probs_c[:, 0]) + (1 - g) * jnp.log(1 - probs_c[:, 0])).mean()
+        return loss, {}
+
+    eval_step = jax.jit(yes_prob)
+    return loss_fn, eval_step
+
+
+def _encode_candidates(tokenizer, texts, args):
+    """texts: candidate-major list (mc) of lists (B). One tokenizer pass."""
+    mc = len(texts)
+    B = len(texts[0])
+    flat = [t for cand in texts for t in cand]
+    enc = encode_batch(tokenizer, flat, args.max_tokens)
+    L = enc["input_ids"].shape[1]
+    return (enc["input_ids"].reshape(mc, B, L),
+            enc["attention_mask"].reshape(mc, B, L))
+
+
+def _device_batch(batch_dict, tokenizer, args):
+    ids, am = _encode_candidates(tokenizer, batch_dict["text"], args)
+    video = jnp.asarray(batch_dict["video"])
+    video_mask = jnp.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(am),
+        "video": video,
+        "video_mask": video_mask,
+    }
+
+
+def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
+             split="test", type_map=None):
+    _, eval_step = make_mc_steps(bundle, tokenizer.mask_token_id, data_loader.dataset.mc)
+    metric_logger = MetricLogger()
+    res: Dict = {}
+    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
+        db = _device_batch(batch_dict, tokenizer, args)
+        probs = np.asarray(eval_step(params, db["input_ids"], db["attention_mask"],
+                                     db["video"], db["video_mask"]))
+        preds = (np.round(probs[:, 0]).astype(int) if probs.shape[1] == 1
+                 else probs.argmax(1))
+        hidden = int(batch_dict["answer_id"][0]) == -1
+        if not hidden:
+            gt = np.asarray(batch_dict["answer_id"])
+            agree = preds == gt
+            for i, qid in enumerate(batch_dict["qid"]):
+                res[qid] = {"pred": int(preds[i]), "gt": int(gt[i]),
+                            "type": int(batch_dict["type"][i]), "acc": bool(agree[i])}
+            metric_logger.update(acc=float(agree.mean()))
+        else:
+            for i, qid in enumerate(batch_dict["qid"]):
+                res[str(qid)] = int(preds[i])
+
+    results = host_gather_results(res)
+    assert len(results) == len(data_loader.dataset)
+    if results and isinstance(next(iter(results.values())), dict):
+        acc = sum(int(r["acc"]) for r in results.values()) / len(results)
+        if is_main_process():
+            print(dataset_name)
+            print(f"{split} acc: {acc: .2%}")
+        return results, acc
+    return results, 0
+
+
+def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args):
+    metric_logger = MetricLogger()
+    for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
+                                              f"Epoch: [{epoch}]"):
+        db = _device_batch(batch_dict, tokenizer, args)
+        db["answer_id"] = jnp.asarray(np.asarray(batch_dict["answer_id"]))
+        state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            raise RuntimeError(f"Loss is {loss}, stopping training")
+        metric_logger.update(loss=loss)
+    metric_logger.synchronize_between_processes()
+    if is_main_process():
+        print("Averaged stats:", metric_logger)
+    return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
+
+
+def main(args):
+    if is_main_process() and args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    tokenizer = get_tokenizer(args)
+    nt = namedtuple("data", ["dataset_name", "loader_test", "loader_val", "loader_train"])
+    tuples = []
+    for dset_name in args.combine_datasets_val:
+        split_test = "val" if (args.eval and not args.test) else "test"
+        ds_test = build_mc_dataset(dset_name, split_test, args, tokenizer.mask_token)
+        loader_test = DataLoader(ds_test, args.batch_size_val, collate_fn=mc_collate)
+        ds_val = build_mc_dataset(dset_name, "val", args, tokenizer.mask_token,
+                                  features=ds_test.features)
+        loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=mc_collate)
+        loader_train = None
+        if not args.eval:
+            ds_train = build_mc_dataset(dset_name, "train", args, tokenizer.mask_token,
+                                        features=ds_test.features)
+            loader_train = DataLoader(ds_train, args.batch_size, collate_fn=mc_collate,
+                                      shuffle=True, seed=args.seed)
+        tuples.append(nt(dset_name, loader_test, loader_val, loader_train))
+
+    args.n_ans = 2  # {Yes, No} (mc.py:252)
+    bundle = build_model(args)
+    params = bundle.init_params(jax.random.PRNGKey(args.seed))
+    base_dir = args.tokenizer_path or os.path.join(
+        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+    if not args.scratch and os.path.isdir(base_dir):
+        try:
+            params = load_any_checkpoint(base_dir, params, bundle.cfg, bundle.family)
+        except FileNotFoundError:
+            if is_main_process():
+                print(f"no base weights under {base_dir}; using random init")
+    if args.load:
+        params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
+    params = jax.tree.map(jnp.asarray, params)
+
+    # answer embeddings <- {Yes, No} token embeddings (mc.py:280-305)
+    a2tok = answers_to_token_ids(tokenizer, ["Yes", "No"], args.max_atokens)
+    params = bundle.set_answer_embeddings(params, a2tok)
+
+    log_stats = []
+    for item in tuples:
+        if not args.eval:
+            steps = len(item.loader_train)
+            tx = make_optimizer(
+                make_schedule(args.lr, steps * args.epochs, args.schedule,
+                              args.fraction_warmup_steps),
+                beta1=args.beta1, beta2=args.beta2,
+                weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+            )
+            loss_fn, _ = make_mc_steps(bundle, tokenizer.mask_token_id,
+                                       item.loader_train.dataset.mc)
+            trainer = Trainer(loss_fn, tx)
+            state, frozen = create_train_state(params, bundle.vt, tx)
+            best_acc = 0.0
+            for epoch in range(args.start_epoch, args.epochs):
+                item.loader_train.set_epoch(epoch)
+                state, _ = train_one_epoch(state, frozen, trainer, tokenizer,
+                                           item.loader_train, epoch, args)
+                if (epoch + 1) % args.eval_skip == 0:
+                    cur = merge_params(state.trainable, frozen)
+                    _, acc = evaluate(cur, bundle, tokenizer, item.loader_val,
+                                      item.dataset_name, args, split="val")
+                    log_stats.append({"epoch": epoch, "val_acc": acc})
+                    if args.save_dir and acc > best_acc:
+                        best_acc = acc
+                        if is_main_process():
+                            save_params(os.path.join(args.save_dir, "best_model"),
+                                        state.trainable, {"epoch": epoch, "acc": acc})
+            if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
+                from frozenbilm_tpu.utils.checkpoint import overlay_into
+
+                best, _ = load_params(os.path.join(args.save_dir, "best_model"))
+                params = jax.tree.map(jnp.asarray, overlay_into(
+                    merge_params(state.trainable, frozen), best))
+            else:
+                params = merge_params(state.trainable, frozen)
+
+        results, acc = evaluate(params, bundle, tokenizer, item.loader_test,
+                                item.dataset_name, args,
+                                split="val" if (args.eval and not args.test) else "test")
+        if args.save_dir and is_main_process():
+            with open(os.path.join(args.save_dir, f"{item.dataset_name}.json"), "w") as f:
+                json.dump(results, f)
+            with open(os.path.join(args.save_dir, "acc_val.json"), "w") as f:
+                json.dump({"acc": acc}, f)
+        log_stats.append({item.dataset_name: acc})
+    return log_stats
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

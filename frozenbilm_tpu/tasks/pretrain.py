@@ -1,0 +1,171 @@
+"""Cross-modal MLM pretraining driver (WebVid video-caption pairs).
+
+Mirrors reference main.py (train_one_epoch :24, evaluate :100, main :156):
+adapters + visual projection (+LayerNorms) train with the 80/10/10 MLM
+objective on captions prefixed by visual tokens; validation = MLM loss.
+Checkpoints every eval_skip epochs, trainable partition only.
+
+TPU-first: MLM corruption runs inside the jitted train step
+(ops/masking.mlm_corrupt); batch is sharded over the mesh 'data' axis.
+
+Run: python -m frozenbilm_tpu.tasks.pretrain --combine_datasets webvid \
+       --combine_datasets_val webvid ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import get_args_parser
+from frozenbilm_tpu.data.loader import DataLoader
+from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
+from frozenbilm_tpu.data.videotext import build_videotext_dataset, videotext_collate
+from frozenbilm_tpu.models import build_model
+from frozenbilm_tpu.ops.masking import get_mask
+from frozenbilm_tpu.parallel.mesh import MeshSpec, is_main_process, make_mesh, shard_batch
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.partition import count_params, merge_params
+from frozenbilm_tpu.train.trainer import Trainer, create_train_state, make_mlm_loss_fn
+from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
+from frozenbilm_tpu.utils.metrics import MetricLogger
+
+
+def _device_batch(batch_dict, tokenizer, args, mesh=None):
+    enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens)
+    video = np.asarray(batch_dict["video"], np.float32)
+    video_mask = np.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
+    db = {
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "special_tokens_mask": enc["special_tokens_mask"],
+        "video": video,
+        "video_mask": video_mask,
+    }
+    if mesh is not None:
+        return shard_batch(mesh, db)
+    return {k: jnp.asarray(v) for k, v in db.items()}
+
+
+def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args, mesh):
+    metric_logger = MetricLogger()
+    rng = jax.random.PRNGKey(args.seed)
+    for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
+                                              f"Epoch: [{epoch}]"):
+        db = _device_batch(batch_dict, tokenizer, args, mesh)
+        state, metrics = trainer.train_step(state, frozen, db, rng)
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            raise RuntimeError(f"Loss is {loss}, stopping training")
+        metric_logger.update(loss=loss)
+    metric_logger.synchronize_between_processes()
+    if is_main_process():
+        print("Averaged stats:", metric_logger)
+    return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
+
+
+def evaluate(state, frozen, trainer, tokenizer, data_loader, args, mesh):
+    """Validation MLM loss (reference main.py:100-153)."""
+    metric_logger = MetricLogger()
+    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, "val:"):
+        db = _device_batch(batch_dict, tokenizer, args, mesh)
+        metrics = trainer.eval_step(state, frozen, db)
+        metric_logger.update(loss=float(metrics["loss"]))
+    metric_logger.synchronize_between_processes()
+    return {k: m.global_avg for k, m in metric_logger.meters.items()}
+
+
+def main(args):
+    if is_main_process() and args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    tokenizer = get_tokenizer(args)
+    ds_train = None
+    if not args.eval:
+        ds_train = build_videotext_dataset("train", args)
+    ds_val = build_videotext_dataset(
+        "val", args, features=ds_train.features if ds_train else None)
+    loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videotext_collate)
+    loader_train = None
+    if ds_train:
+        loader_train = DataLoader(ds_train, args.batch_size, collate_fn=videotext_collate,
+                                  shuffle=True, seed=args.seed, drop_last=True)
+
+    bundle = build_model(args)
+    params = bundle.init_params(jax.random.PRNGKey(args.seed))
+    base_dir = args.tokenizer_path or os.path.join(
+        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+    if not args.scratch and os.path.isdir(base_dir):
+        try:
+            params = load_any_checkpoint(base_dir, params, bundle.cfg, bundle.family)
+        except FileNotFoundError:
+            if is_main_process():
+                print(f"no base weights under {base_dir}; using random init")
+    if args.load:
+        params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
+    params = jax.tree.map(jnp.asarray, params)
+
+    mesh = None
+    if jax.device_count() > 1:
+        n_data = (args.mesh_data if args.mesh_data > 0
+                  else jax.device_count() // max(1, args.mesh_model))
+        if args.batch_size % n_data == 0 and args.batch_size_val % n_data == 0:
+            mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
+        elif is_main_process():
+            print(f"batch sizes not divisible by data axis {n_data}; "
+                  "running unsharded on device 0")
+
+    steps_per_epoch = len(loader_train) if loader_train else 1
+    tx = make_optimizer(
+        make_schedule(args.lr, steps_per_epoch * args.epochs, args.schedule,
+                      args.fraction_warmup_steps),
+        beta1=args.beta1, beta2=args.beta2,
+        weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+    )
+    loss_fn = make_mlm_loss_fn(
+        bundle.forward, bundle.cfg, bundle.vt,
+        mask_token_id=tokenizer.mask_token_id,
+        vocab_size=bundle.cfg.vocab_size,
+        pad_token_id=tokenizer.pad_token_id or 0,
+        mlm_probability=args.mlm_prob,
+    )
+    trainer = Trainer(loss_fn, tx, mesh=mesh)
+    state, frozen = create_train_state(params, bundle.vt, tx)
+    if is_main_process():
+        print("number of trainable params:", count_params(state.trainable))
+
+    if args.eval:
+        stats = evaluate(state, frozen, trainer, tokenizer, loader_val, args, mesh)
+        if is_main_process():
+            print("val:", stats)
+            if args.save_dir:
+                with open(os.path.join(args.save_dir, "log_stats.json"), "w") as f:
+                    json.dump(stats, f)
+        return stats
+
+    log = []
+    for epoch in range(args.start_epoch, args.epochs):
+        loader_train.set_epoch(epoch)
+        state, train_stats = train_one_epoch(state, frozen, trainer, tokenizer,
+                                             loader_train, epoch, args, mesh)
+        log_entry = {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()}}
+        if (epoch + 1) % args.eval_skip == 0:
+            val_stats = evaluate(state, frozen, trainer, tokenizer, loader_val, args, mesh)
+            log_entry.update({f"val_{k}": v for k, v in val_stats.items()})
+            if args.save_dir and is_main_process():
+                save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
+                            state.trainable, {"epoch": epoch})
+        log.append(log_entry)
+        if args.save_dir and is_main_process():
+            with open(os.path.join(args.save_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(log_entry) + "\n")
+    return log
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

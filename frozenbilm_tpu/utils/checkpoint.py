@@ -1,0 +1,135 @@
+"""Checkpointing: native msgpack-free numpy archives + torch .pth import.
+
+Reference cadence (SURVEY.md §5.4): rank-0 saves {"model", "optimizer",
+"epoch", "args"} every eval_skip epochs + best_model on val acc1. Our native
+format keeps the *trainable partition only* (+ answer module) — the frozen
+backbone is restored from the base-model store, matching the released 114MB
+downstream ckpts vs 3.7GB full ones (README.md:105-115).
+
+Native format: a directory with
+  params.npz   — flattened {path -> array}
+  meta.json    — step/epoch/args + tree manifest
+Optimizer state is saved the same way under opt/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+_SEP = "::"
+
+
+def _flatten(tree: Dict, prefix=()) -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    elif tree is None:
+        pass
+    else:
+        out[_SEP.join(prefix)] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten(tree)
+    np.savez(os.path.join(path, "params.npz"), **flat)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, default=str)
+
+
+def load_params(path: str) -> Tuple[Dict, Dict]:
+    with np.load(os.path.join(path, "params.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return _unflatten(flat), meta
+
+
+def overlay_into(template: Dict, loaded: Dict) -> Dict:
+    """strict=False load: overwrite template leaves present in `loaded`."""
+    import copy
+
+    out = copy.deepcopy(template)
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                rec(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    rec(out, loaded)
+    return out
+
+
+def load_any_checkpoint(path: str, template: Dict, cfg, family: str) -> Dict:
+    """Load a checkpoint into a parameter template.
+
+    Accepts: our native dir (params.npz), a torch .pth (released FrozenBiLM
+    checkpoints, reference main.py:236-240 strict=False), or an HF pretrained
+    dir (pytorch_model.bin / model.safetensors).
+    """
+    from frozenbilm_tpu.utils.hf_import import (
+        bert_overlay_from_torch,
+        deberta_overlay_from_torch,
+        load_pth_state_dict,
+    )
+
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "params.npz")):
+            loaded, _ = load_params(path)
+            return overlay_into(template, loaded)
+        for name in ("pytorch_model.bin", "model.safetensors"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                sd = _read_hf_weights(p)
+                return _overlay_family(template, sd, cfg, family)
+        raise FileNotFoundError(f"no checkpoint found under {path}")
+    if path.endswith((".pth", ".pt", ".bin")):
+        sd = load_pth_state_dict(path)
+        return _overlay_family(template, sd, cfg, family)
+    raise FileNotFoundError(path)
+
+
+def _read_hf_weights(p: str) -> Dict[str, np.ndarray]:
+    from frozenbilm_tpu.utils.hf_import import load_pth_state_dict
+
+    if p.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(p)
+    return load_pth_state_dict(p)
+
+
+def _overlay_family(template, sd, cfg, family: str):
+    from frozenbilm_tpu.utils import hf_import
+
+    if family == "deberta":
+        return hf_import.deberta_overlay_from_torch(template, sd, cfg)
+    if family == "bert":
+        return hf_import.bert_overlay_from_torch(template, sd, cfg)
+    if family == "gptneo":
+        return hf_import.gptneo_overlay_from_torch(template, sd, cfg)
+    if family == "gptj":
+        return hf_import.gptj_overlay_from_torch(template, sd, cfg)
+    raise NotImplementedError(family)

@@ -1,0 +1,140 @@
+"""Metric logging: windowed smoothing, ETA, device memory stats.
+
+Replaces reference util/metrics.py (SmoothedValue/MetricLogger):
+  - same console format: window median/avg + global avg, iter/data time, ETA
+  - cross-process sync maps all_reduce of [count, total] to a host-side psum
+    when multi-host (SmoothedValue.synchronize_between_processes,
+    metrics.py:29-41)
+  - cuda max_memory_allocated -> jax device memory_stats
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from collections import defaultdict, deque
+from typing import Dict, Iterable, Optional
+
+
+class SmoothedValue:
+    """Track a series with a smoothing window and global statistics."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.window = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1) -> None:
+        self.window.append(value)
+        self.count += n
+        self.total += value * n
+
+    def synchronize_between_processes(self) -> None:
+        """Sum [count, total] across hosts (single-host: no-op)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        arr = multihost_utils.process_allgather(np.array([self.count, self.total]))
+        self.count = int(arr[..., 0].sum())
+        self.total = float(arr[..., 1].sum())
+
+    @property
+    def median(self) -> float:
+        if not self.window:
+            return 0.0
+        s = sorted(self.window)
+        return s[len(s) // 2]
+
+    @property
+    def avg(self) -> float:
+        return sum(self.window) / max(len(self.window), 1)
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self) -> float:
+        return max(self.window) if self.window else 0.0
+
+    @property
+    def value(self) -> float:
+        return self.window[-1] if self.window else 0.0
+
+    def __str__(self) -> str:
+        return self.fmt.format(
+            median=self.median, avg=self.avg, global_avg=self.global_avg,
+            max=self.max, value=self.value,
+        )
+
+
+def _device_mem_mb() -> Optional[float]:
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / (1024.0 * 1024.0)
+    except Exception:
+        pass
+    return None
+
+
+class MetricLogger:
+    def __init__(self, delimiter: str = "  "):
+        self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs) -> None:
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, name):
+        if name in self.meters:
+            return self.meters[name]
+        raise AttributeError(name)
+
+    def __str__(self) -> str:
+        return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
+
+    def synchronize_between_processes(self) -> None:
+        for m in self.meters.values():
+            m.synchronize_between_processes()
+
+    def add_meter(self, name: str, meter: SmoothedValue) -> None:
+        self.meters[name] = meter
+
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
+        i = 0
+        try:
+            total = len(iterable)
+        except TypeError:
+            total = None
+        start = time.time()
+        end = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if print_freq and (i % print_freq == 0 or (total and i == total - 1)):
+                if total:
+                    eta = str(datetime.timedelta(seconds=int(iter_time.global_avg * (total - i))))
+                    prefix = f"{header} [{i}/{total}] eta: {eta}"
+                else:
+                    prefix = f"{header} [{i}]"
+                mem = _device_mem_mb()
+                parts = [prefix, str(self), f"time: {iter_time}", f"data: {data_time}"]
+                if mem is not None:
+                    parts.append(f"mem: {mem:.0f}MB")
+                print(self.delimiter.join(parts))
+            i += 1
+            end = time.time()
+        elapsed = str(datetime.timedelta(seconds=int(time.time() - start)))
+        print(f"{header} Total time: {elapsed}")
