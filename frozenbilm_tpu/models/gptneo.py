@@ -1,0 +1,229 @@
+"""GPT-Neo causal LM with visual prefix tokens — TPU-native.
+
+Behavioral spec (reference model/gptneo.py):
+  - learned absolute positions (wte + wpe)                      (:440-441, :580)
+  - alternating global / local sliding-window attention layers;
+    local mask = causal XOR tril(causal, -window)               (:159-176)
+  - attention weights computed UNSCALED in fp32; causal fill -1e9 then
+    additive padding mask                                        (:210-240)
+  - serial pre-LN blocks: x += attn(ln_1(x)); x += mlp(ln_2(x)) (:320-360)
+  - q/k/v projections bias-free, out_proj biased                (:186-191)
+  - lm_head bias-free; video prefix + shifted CE like GPT-J     (:456, :716-760)
+  - score(): teacher-forced next-token probs (:1727-1754), computed here as
+    one forward over [prompt ‖ targets] (causal equivalence; see gptj.py)
+
+The reference also vendors a full HF generate/greedy_search with a
+synced-GPU loop (:850-1726); greedy generation here is a lax.scan-free
+argmax over the score path (generation is not used by any reference driver
+except demo top-k readout).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import GPTNeoConfig, VideoTextConfig
+from frozenbilm_tpu.models.common import (
+    ACT2FN,
+    RngStream,
+    dropout,
+    embedding_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+)
+from frozenbilm_tpu.models.gptj import GPTOutput, NEG_BIAS, NEG_PAD, _score_from_forward
+from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index
+
+
+def _init_layer(key, cfg: GPTNeoConfig):
+    keys = iter(jax.random.split(key, 8))
+    std = cfg.initializer_range
+    h, inter = cfg.hidden_size, cfg.effective_intermediate_size
+    return {
+        "ln_1": layer_norm_init(h),
+        "attn": {
+            "q_proj": linear_init(next(keys), h, h, std, bias=False),
+            "k_proj": linear_init(next(keys), h, h, std, bias=False),
+            "v_proj": linear_init(next(keys), h, h, std, bias=False),
+            "out_proj": linear_init(next(keys), h, h, std),  # bias=True
+        },
+        "ln_2": layer_norm_init(h),
+        "mlp": {
+            "c_fc": linear_init(next(keys), h, inter, std),
+            "c_proj": linear_init(next(keys), inter, h, std),
+        },
+    }
+
+
+def init_gptneo_params(key, cfg: GPTNeoConfig, vt: VideoTextConfig):
+    keys = iter(jax.random.split(key, 8))
+    std = cfg.initializer_range
+    h = cfg.hidden_size
+    layer_keys = jax.random.split(next(keys), cfg.num_layers)
+    params = {
+        "wte": embedding_init(next(keys), cfg.vocab_size, h, std),
+        "wpe": embedding_init(next(keys), cfg.max_position_embeddings, h, std),
+        "layers": jax.vmap(lambda k: _init_layer(k, cfg))(layer_keys),
+        "ln_f": layer_norm_init(h),
+        "lm_head": linear_init(next(keys), h, cfg.vocab_size, std, bias=False),
+    }
+    if vt.features_dim:
+        params["linear_video"] = linear_init(next(keys), vt.features_dim, h, std)
+    return params
+
+
+def _causal_masks(L: int, window: int):
+    """(global, local) boolean masks, numpy constants at trace time."""
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    causal = j <= i
+    local = causal & (j > i - window)  # attend to the last `window` positions
+    return causal, local
+
+
+def _attention(lp_attn, cfg, x, add_mask, allowed, *, deterministic, rngs):
+    B, L, H = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    q = linear(lp_attn["q_proj"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    k = linear(lp_attn["k_proj"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    v = linear(lp_attn["v_proj"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+
+    # UNSCALED fp32 attention (gptneo.py:210-215)
+    w = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32), k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    w = jnp.where(allowed[None, None], w, NEG_BIAS)
+    if add_mask is not None:
+        w = w + add_mask
+    probs = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+    probs = dropout(rngs.next(), probs, cfg.attention_dropout, deterministic)
+    ctx = jnp.einsum("bhij,bhjd->bhid", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, nh * hd)
+    out = linear(lp_attn["out_proj"], ctx)
+    return dropout(rngs.next(), out, cfg.resid_dropout, deterministic)
+
+
+def _block(lp, cfg, x, add_mask, allowed, *, deterministic, rngs):
+    h = layer_norm(lp["ln_1"], x, cfg.layer_norm_epsilon)
+    x = x + _attention(lp["attn"], cfg, h, add_mask, allowed,
+                       deterministic=deterministic, rngs=rngs)
+    h2 = layer_norm(lp["ln_2"], x, cfg.layer_norm_epsilon)
+    ff = linear(lp["mlp"]["c_proj"], ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
+    ff = dropout(rngs.next(), ff, cfg.resid_dropout, deterministic)
+    return x + ff
+
+
+def gptneo_forward(
+    params,
+    cfg: GPTNeoConfig,
+    vt: VideoTextConfig,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    video: Optional[jax.Array] = None,
+    video_mask: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    *,
+    mlm: bool = False,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+) -> GPTOutput:
+    del mlm
+    B, T = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), jnp.int32)
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        if video_mask is None:
+            video_mask = jnp.ones(video.shape[:2], jnp.int32)
+        attention_mask = jnp.concatenate(
+            [video_mask.astype(attention_mask.dtype), attention_mask], axis=1)
+
+    rngs = RngStream(rng)
+    x = params["wte"][input_ids]
+    if use_video:
+        v = linear(params["linear_video"], video.astype(x.dtype))
+        x = jnp.concatenate([v, x], axis=1)
+    L = x.shape[1]
+    if position_ids is None:
+        position_ids = jnp.arange(L)[None, :]
+    x = x + params["wpe"][position_ids]
+    x = dropout(rngs.next(), x, cfg.embed_dropout, deterministic)
+
+    add_mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_PAD
+    causal_np, local_np = _causal_masks(L, cfg.window_size)
+    causal, local = jnp.asarray(causal_np), jnp.asarray(local_np)
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+
+    def step(carry, xs):
+        lp, local_flag = xs
+        h, key = carry
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        allowed = jnp.where(local_flag, local, causal)
+        out = _block(lp, cfg, h, add_mask, allowed,
+                     deterministic=deterministic, rngs=RngStream(sub))
+        return (out, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, rngs.next()), (params["layers"], is_local))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+
+    loss = None
+    if labels is not None:
+        if use_video:
+            video_labels = jnp.full(video.shape[:2], -100, labels.dtype)
+            labels = jnp.concatenate([video_labels, labels], axis=1)
+        loss = cross_entropy_ignore_index(logits[:, :-1], labels[:, 1:])
+
+    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x)
+
+
+def _forward_with_genpos(params, cfg, vt, input_ids, attention_mask, video, video_mask):
+    """Forward with generation-style positions: cumsum(mask)-1, pads -> 1
+    (reference prepare_inputs_for_generation, gptneo.py / gptj.py:747-752).
+    wpe consumes them, so AR scoring must match."""
+    B, T = input_ids.shape
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        full_am = jnp.concatenate(
+            [video_mask.astype(attention_mask.dtype), attention_mask], axis=1)
+    else:
+        full_am = attention_mask
+    pos = jnp.cumsum(full_am, axis=1) - 1
+    pos = jnp.where(full_am == 0, 1, pos)
+    return gptneo_forward(params, cfg, vt, input_ids, attention_mask,
+                          video, video_mask, position_ids=pos)
+
+
+def gptneo_score(params, cfg, vt, *, video, video_mask, input_ids, attention_mask,
+                 target_ids):
+    """P(target_l | prompt, target_<l) (gptneo.py:1727-1754), single pass."""
+    return _score_from_forward(_forward_with_genpos, params, cfg, vt, video,
+                               video_mask, input_ids, attention_mask, target_ids)
+
+
+def gptneo_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_mask,
+                  max_new_tokens: int, eos_token_id: Optional[int] = None):
+    """Greedy decoding (functional analogue of the vendored greedy_search,
+    gptneo.py:1530-1726). Re-runs the full forward per step (no KV cache yet;
+    prompt lengths here are tiny — see SURVEY.md §5.7)."""
+    B = input_ids.shape[0]
+    ids = input_ids
+    am = attention_mask
+    for _ in range(max_new_tokens):
+        out = _forward_with_genpos(params, cfg, vt, ids, am, video, video_mask)
+        next_tok = jnp.argmax(out.logits[:, -1, :], axis=-1)
+        ids = jnp.concatenate([ids, next_tok[:, None]], axis=1)
+        am = jnp.concatenate([am, jnp.ones((B, 1), am.dtype)], axis=1)
+        if eos_token_id is not None and bool(jnp.all(next_tok == eos_token_id)):
+            break
+    return ids

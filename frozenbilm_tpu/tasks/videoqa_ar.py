@@ -1,0 +1,171 @@
+"""Autoregressive zero-shot VideoQA driver (GPT-Neo / GPT-J).
+
+Mirrors reference videoqa_ar.py (evaluate :21, main :157): the answer
+vocabulary is grouped by tokenized length (answer tokens + EOS, :37-51); each
+candidate answer is scored by the teacher-forced probability product
+(:82-107) and the argmax over the whole vocabulary is the prediction.
+
+TPU-first restructuring: the reference runs |vocab| x answer_len forwards
+per question at batch 1 through a KV cache. Here each (question, answer
+chunk) is ONE batched forward over [prompt ‖ answer] (models/gptj.py:score),
+collapsing the answer_len sequential loop; chunks are padded to fixed sizes
+so XLA compiles once per (length-group, chunk) shape.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import namedtuple
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import get_args_parser
+from frozenbilm_tpu.data.loader import DataLoader
+from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
+from frozenbilm_tpu.data.videoqa_ar import build_videoqa_ar_dataset, videoqa_ar_collate
+from frozenbilm_tpu.models import build_model
+from frozenbilm_tpu.ops.masking import get_mask
+from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
+from frozenbilm_tpu.utils.metrics import MetricLogger
+
+
+def group_answers_by_length(tokenizer, a2id: Dict[str, int], max_atokens: int):
+    """{length: (token id array (n, length), answer ids)} with EOS appended
+    (videoqa_ar.py:37-51)."""
+    groups_tok: Dict[int, list] = {}
+    groups_aid: Dict[int, list] = {}
+    for a, aid in a2id.items():
+        tok = tokenizer(str(a), add_special_tokens=False)["input_ids"] + [tokenizer.eos_token_id]
+        groups_tok.setdefault(len(tok), []).append(tok)
+        groups_aid.setdefault(len(tok), []).append(aid)
+    out = {}
+    for length, toks in groups_tok.items():
+        if length <= max_atokens:
+            out[length] = (np.asarray(toks, np.int64), np.asarray(groups_aid[length]))
+    return out
+
+
+def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
+             split="test", type_map=None):
+    a2id = data_loader.dataset.a2id
+    groups = group_answers_by_length(tokenizer, a2id, args.max_atokens)
+    if is_main_process():
+        print(len(a2id), sum(len(v[1]) for v in groups.values()))
+
+    score_fn = jax.jit(
+        lambda p, video, vm, ids, am, tgt: bundle.score(
+            p, bundle.cfg, bundle.vt, video=video, video_mask=vm,
+            input_ids=ids, attention_mask=am, target_ids=tgt)
+    )
+
+    metric_logger = MetricLogger()
+    res = {}
+    chunk = args.batch_size_val
+    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
+        # per-question scoring, AR prompts left-padded (videoqa_ar.py:178-179)
+        enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens, left_pad=True)
+        video = np.asarray(batch_dict["video"], np.float32)
+        video_mask = np.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
+        for qi in range(len(batch_dict["qid"])):
+            ids_q = enc["input_ids"][qi:qi + 1]
+            am_q = enc["attention_mask"][qi:qi + 1]
+            vid_q = video[qi:qi + 1]
+            vm_q = video_mask[qi:qi + 1]
+            best_aid, best_score = -1, -np.inf
+            for length, (toks, aids) in groups.items():
+                for s in range(0, len(toks), chunk):
+                    t = toks[s: s + chunk]
+                    n = len(t)
+                    if n < chunk:  # pad chunk to a fixed shape for XLA
+                        t = np.concatenate([t, np.tile(t[-1:], (chunk - n, 1))])
+                    probs = np.asarray(score_fn(
+                        params,
+                        jnp.asarray(np.repeat(vid_q, chunk, 0)),
+                        jnp.asarray(np.repeat(vm_q, chunk, 0)),
+                        jnp.asarray(np.repeat(ids_q, chunk, 0)),
+                        jnp.asarray(np.repeat(am_q, chunk, 0)),
+                        jnp.asarray(t),
+                    ))[:n]
+                    pooled = probs.prod(-1)  # product of probabilities (:100)
+                    j = int(pooled.argmax())
+                    if pooled[j] > best_score:
+                        best_score, best_aid = float(pooled[j]), int(aids[s + j])
+            qid = batch_dict["qid"][qi]
+            gt = batch_dict["answer_id"][qi]
+            if dataset_name == "ivqa":
+                gt_soft = np.clip(np.asarray(gt, np.float32) / 2, None, 1.0)
+                acc = float(gt_soft[best_aid]) if gt_soft.size else 0.0
+                res[qid] = {"pred": best_aid, "gt": gt_soft.tolist(),
+                            "type": int(batch_dict["type"][qi]), "acc1": acc}
+            else:
+                acc = float(best_aid == int(gt))
+                res[qid] = {"pred": best_aid, "gt": int(gt),
+                            "type": int(batch_dict["type"][qi]), "acc1": acc}
+            metric_logger.update(acc=acc)
+
+    results = host_gather_results(res)
+    assert len(results) == len(data_loader.dataset)
+    acc1 = sum(r["acc1"] for r in results.values()) / len(results)
+    out = {"acc1": acc1}
+    if type_map is not None and len(type_map) > 1:
+        for t, name in type_map.items():
+            of_type = [r for r in results.values() if r["type"] == t]
+            if of_type:
+                out[name] = sum(r["acc1"] for r in of_type) / len(of_type)
+    if is_main_process():
+        print(dataset_name)
+        print(f"{split} acc1: {acc1: .2%}")
+    return results, out
+
+
+def main(args):
+    assert args.eval, "AR VideoQA is eval-only (videoqa_ar.py:194-195)"
+    if is_main_process() and args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    tokenizer = get_tokenizer(args)
+    tuples = []
+    nt = namedtuple("data", ["dataset_name", "loader_test", "dataset"])
+    for dset_name in args.combine_datasets_val:
+        split = "val" if (args.eval and not args.test) else "test"
+        ds = build_videoqa_ar_dataset(dset_name, split, args)
+        loader = DataLoader(ds, args.batch_size_val, collate_fn=videoqa_ar_collate)
+        tuples.append(nt(dset_name, loader, ds))
+
+    bundle = build_model(args)
+    params = bundle.init_params(jax.random.PRNGKey(args.seed))
+    base_dir = args.tokenizer_path or os.path.join(
+        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+    if os.path.isdir(base_dir):
+        try:
+            params = load_any_checkpoint(base_dir, params, bundle.cfg, bundle.family)
+        except FileNotFoundError:
+            if is_main_process():
+                print(f"no base weights under {base_dir}; using random init")
+    if args.load:
+        params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
+    params = jax.tree.map(jnp.asarray, params)
+
+    log_stats = []
+    for item in tuples:
+        results, out = evaluate(params, bundle, tokenizer, item.loader_test,
+                                item.dataset_name, args,
+                                split="val" if (args.eval and not args.test) else "test",
+                                type_map=item.dataset.type_map)
+        if args.save_dir and is_main_process():
+            with open(os.path.join(args.save_dir, f"{item.dataset_name}.json"), "w") as f:
+                json.dump(results, f)
+            with open(os.path.join(args.save_dir, f"{item.dataset_name}summary.json"), "w") as f:
+                json.dump(out, f)
+        log_stats.append({item.dataset_name: out})
+    return log_stats
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -36,6 +36,12 @@ def _path_names(path) -> Tuple[str, ...]:
     return tuple(names)
 
 
+def _is_layer_norm(names: Tuple[str, ...]) -> bool:
+    # DeBERTa/BERT use 'LayerNorm'; GPT-Neo/J use 'ln_1'/'ln_2'/'ln_f'
+    # (reference unfreezes params with 'ln' in the name, gptj.py:406-412)
+    return any(n == "LayerNorm" or n in ("ln_1", "ln_2", "ln_f") for n in names)
+
+
 def _is_trainable(names: Tuple[str, ...], vt: VideoTextConfig) -> bool:
     joined = "/".join(names)
     if names and names[0] == "answers":
@@ -48,10 +54,10 @@ def _is_trainable(names: Tuple[str, ...], vt: VideoTextConfig) -> bool:
     if in_mlm_head:
         if not vt.freeze_mlm:
             return True
-        return vt.ft_ln and "LayerNorm" in names
+        return vt.ft_ln and _is_layer_norm(names)
     if not vt.freeze_lm:
         return True
-    return vt.ft_ln and "LayerNorm" in names
+    return vt.ft_ln and _is_layer_norm(names)
 
 
 def trainable_mask(params: Dict, vt: VideoTextConfig) -> Dict:

@@ -169,6 +169,59 @@ def deberta_overlay_from_torch(
 
 
 # ---------------------------------------------------------------------------
+# GPT-J / GPT-Neo
+# ---------------------------------------------------------------------------
+
+
+def _gpt_overlay(params: Dict, sd: Dict[str, np.ndarray], n_layers: int,
+                 attn_prefix: str, mlp_names, has_wpe: bool) -> Dict:
+    params = copy.deepcopy(jax_tree_to_numpy(params))
+    p = "transformer."
+    if p + "wte.weight" in sd:
+        _set(params, ("wte",), sd[p + "wte.weight"])
+    if has_wpe and p + "wpe.weight" in sd:
+        _set(params, ("wpe",), sd[p + "wpe.weight"])
+    if p + "linear_video.weight" in sd:
+        params["linear_video"] = _lin(sd, p + "linear_video")
+    if p + "ln_f.weight" in sd:
+        params["ln_f"] = _ln(sd, p + "ln_f")
+    if "lm_head.weight" in sd:
+        params["lm_head"] = _lin(sd, "lm_head")
+
+    if any(f"{p}h.0." in k for k in sd):
+        trees = []
+        for i in range(n_layers):
+            lp = f"{p}h.{i}."
+            layer = {
+                "ln_1": _ln(sd, lp + "ln_1"),
+                "attn": {
+                    name: _lin(sd, lp + attn_prefix + name)
+                    for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+                },
+                "mlp": {name: _lin(sd, lp + "mlp." + name) for name in mlp_names},
+            }
+            if lp + "ln_2.weight" in sd:
+                layer["ln_2"] = _ln(sd, lp + "ln_2")
+            trees.append(layer)
+        _merge_overlay(params["layers"], _stack_layer_trees(trees))
+    return params
+
+
+def gptj_overlay_from_torch(params: Dict, sd: Dict[str, np.ndarray],
+                            cfg: GPTJConfig) -> Dict:
+    """HF/FrozenBiLM GPT-J naming: transformer.h.{i}.attn.*_proj (gptj.py)."""
+    return _gpt_overlay(params, sd, cfg.num_layers, "attn.",
+                        ("fc_in", "fc_out"), has_wpe=False)
+
+
+def gptneo_overlay_from_torch(params: Dict, sd: Dict[str, np.ndarray],
+                              cfg: GPTNeoConfig) -> Dict:
+    """GPT-Neo naming: transformer.h.{i}.attn.attention.*_proj (gptneo.py)."""
+    return _gpt_overlay(params, sd, cfg.num_layers, "attn.attention.",
+                        ("c_fc", "c_proj"), has_wpe=True)
+
+
+# ---------------------------------------------------------------------------
 # BERT
 # ---------------------------------------------------------------------------
 

@@ -77,6 +77,64 @@ def load_reference_datasets():
     return vqa, mc, vt
 
 
+def _patch_kwargs_update(model_cls):
+    """PreTrainedModel lost GenerationMixin in transformers>=4.50; provide the
+    4.17-era kwargs update that the reference's score() loop relies on
+    (sets 'past' from the KV cache, extends the attention mask by one)."""
+    if hasattr(model_cls, "_update_model_kwargs_for_generation"):
+        return
+
+    def _update(self, outputs, model_kwargs, is_encoder_decoder=False, **_):
+        import torch
+
+        model_kwargs["past"] = getattr(outputs, "past_key_values", None)
+        am = model_kwargs.get("attention_mask")
+        if am is not None:
+            model_kwargs["attention_mask"] = torch.cat(
+                [am, am.new_ones((am.shape[0], 1))], dim=-1)
+        return model_kwargs
+
+    model_cls._update_model_kwargs_for_generation = _update
+
+
+def load_reference_gptj():
+    _ensure_pkg()
+    mod = importlib.import_module("model.gptj")
+    _patch_kwargs_update(mod.GPTJForCausalLM)
+    return mod
+
+
+def load_reference_gptneo():
+    """gptneo.py imports pre-4.18 transformers module paths; alias them."""
+    _ensure_pkg()
+    import transformers
+    from transformers.generation import beam_search as bs
+    from transformers.generation import utils as gu
+
+    if "transformers.generation_utils" not in sys.modules:
+        shim = types.ModuleType("transformers.generation_utils")
+        for name in ("GreedySearchOutput", "SampleOutput", "BeamSearchOutput",
+                     "BeamSampleOutput"):
+            setattr(shim, name, getattr(gu, name))
+        for name in ("GreedySearchEncoderDecoderOutput", "GreedySearchDecoderOnlyOutput"):
+            setattr(shim, name, getattr(gu, name, object))
+        shim.validate_stopping_criteria = getattr(
+            gu, "validate_stopping_criteria", lambda c, *_: c)
+        sys.modules["transformers.generation_utils"] = shim
+    if "transformers.generation_beam_search" not in sys.modules:
+        shim2 = types.ModuleType("transformers.generation_beam_search")
+        for name in ("BeamScorer", "BeamSearchScorer", "ConstrainedBeamSearchScorer"):
+            setattr(shim2, name, getattr(bs, name))
+        sys.modules["transformers.generation_beam_search"] = shim2
+    if not hasattr(transformers, "Constraint"):
+        from transformers.generation import beam_constraints
+
+        transformers.Constraint = beam_constraints.Constraint
+    mod = importlib.import_module("model.gptneo")
+    _patch_kwargs_update(mod.GPTNeoForCausalLM)
+    return mod
+
+
 def load_reference_misc():
     _ensure_pkg()
     _stub_package("util", f"{REFERENCE_PATH}/util")
