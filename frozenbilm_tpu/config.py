@@ -368,6 +368,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prefix", default="", type=str)
     parser.add_argument("--suffix", default="", type=str)
 
+    # Few-shot train-split selection (the reference reads args.n_shots in
+    # videoqa_dataset_clip.py:175-179 but never declares it — fixed here)
+    parser.add_argument("--n_shots", type=int, default=0,
+                        help="use the <n_shots>p.csv few-shot train split")
+
     # Demo
     parser.add_argument("--question_example", default="", type=str)
     parser.add_argument("--video_example", default="", type=str)
