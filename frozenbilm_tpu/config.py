@@ -390,6 +390,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                              "empty = single bucket at max_tokens")
     parser.add_argument("--tokenizer_path", default="",
                         help="HF tokenizer path; defaults to $TRANSFORMERS_CACHE/<model_name>")
+    parser.add_argument("--profile_dir", default="",
+                        help="capture an xprof trace window of training steps here")
 
     return parser
 

@@ -52,13 +52,20 @@ def _device_batch(batch_dict, tokenizer, args, mesh=None):
     return {k: jnp.asarray(v) for k, v in db.items()}
 
 
-def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args, mesh):
+def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args, mesh,
+                    profiler=None):
     metric_logger = MetricLogger()
     rng = jax.random.PRNGKey(args.seed)
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
                                               f"Epoch: [{epoch}]"):
         db = _device_batch(batch_dict, tokenizer, args, mesh)
-        state, metrics = trainer.train_step(state, frozen, db, rng)
+        if profiler is not None:
+            n_tok = int(np.prod(np.asarray(db["input_ids"]).shape))
+            with profiler.step(tokens=n_tok):
+                state, metrics = trainer.train_step(state, frozen, db, rng)
+                jax.block_until_ready(metrics["loss"])
+        else:
+            state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
             raise RuntimeError(f"Loss is {loss}, stopping training")
@@ -148,11 +155,22 @@ def main(args):
                     json.dump(stats, f)
         return stats
 
+    profiler = None
+    if getattr(args, "profile_dir", ""):
+        from frozenbilm_tpu.utils.profiling import StepProfiler
+
+        profiler = StepProfiler(logdir=args.profile_dir, start_step=5, num_steps=3)
+
     log = []
     for epoch in range(args.start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
         state, train_stats = train_one_epoch(state, frozen, trainer, tokenizer,
-                                             loader_train, epoch, args, mesh)
+                                             loader_train, epoch, args, mesh,
+                                             profiler=profiler)
+        if profiler is not None and epoch == args.start_epoch:
+            profiler.close()
+            if is_main_process():
+                print("profile:", profiler.summary())
         log_entry = {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()}}
         if (epoch + 1) % args.eval_skip == 0:
             val_stats = evaluate(state, frozen, trainer, tokenizer, loader_val, args, mesh)

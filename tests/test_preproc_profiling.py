@@ -1,0 +1,94 @@
+"""Tests for the preproc helpers/CLIs and the profiling subsystem."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_build_vocab_and_strip():
+    from frozenbilm_tpu.preproc.common import build_top_k_vocab, strip_period
+
+    vocab = build_top_k_vocab(["a", "b", "a", "c", "a", "b"], 2)
+    assert vocab == {"a": 0, "b": 1}
+    assert strip_period(" cat. ") == "cat"
+    assert strip_period("u.s.") == "u.s"  # only the trailing period
+    assert strip_period("dog") == "dog"
+
+
+def test_mc_jsonl_to_csv(tmp_path):
+    from frozenbilm_tpu.preproc.common import jsonl_subtitles_to_pkl, mc_jsonl_to_csv
+
+    rows = [
+        {"qid": 1, "vid_name": "clip_a", "ts": "1.5-9", "q": "what?",
+         "a0": "a cat.", "a1": "a dog", "a2": "an owl.", "a3": "a bat",
+         "answer_idx": 2},
+    ]
+    jl = tmp_path / "x.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+    df = mc_jsonl_to_csv(str(jl), str(tmp_path / "x.csv"), 4, with_answers=True,
+                         id_map={"clip_a": "mapped_a"})
+    assert df["video_id"][0] == "mapped_a"
+    assert df["a0"][0] == "a cat" and df["a2"][0] == "an owl"
+    assert df["start"][0] == 1.5 and df["end"][0] == 9.0
+    assert df["answer_id"][0] == 2
+
+    subs_jl = tmp_path / "subs.jsonl"
+    subs_jl.write_text(json.dumps({"vid_name": "clip_a", "sub": [{"text": "hi"}]}))
+    subs = jsonl_subtitles_to_pkl(str(subs_jl), str(tmp_path / "subs.pkl"))
+    assert pickle.load(open(tmp_path / "subs.pkl", "rb")) == subs
+
+
+def test_resplit_features_per_clip():
+    from frozenbilm_tpu.preproc.common import resplit_features_per_clip
+
+    feats = {"ytvid": np.arange(120 * 2).reshape(120, 2).astype(np.float32)}
+    clips = ["ytvid_60_120", "ytvid_0_60", "other_0_60"]
+    out = resplit_features_per_clip(feats, clips, feats.get)
+    assert set(out) == {"ytvid_60_120", "ytvid_0_60"}
+    np.testing.assert_array_equal(out["ytvid_0_60"], feats["ytvid"][0:61])
+    np.testing.assert_array_equal(out["ytvid_60_120"], feats["ytvid"][60:121])
+
+
+def test_preproc_lsmdc_cli(tmp_path):
+    from frozenbilm_tpu.preproc.preproc_lsmdc import COLUMNS, main
+
+    for split in ["training", "val", "test"]:
+        df = pd.DataFrame(
+            [[f"v{i}", 0, 1, 0, 1, "sent", f"He _____ fast {i}", ["ran", "walked"][i % 2]]
+             for i in range(6)] + [["vx", 0, 1, 0, 1, "s", "no blank here", "ran"]],
+            columns=COLUMNS)
+        df.to_csv(tmp_path / f"LSMDC16_annos_{split}_FIB.csv", sep="\t", index=False)
+
+    class A:
+        data_dir = str(tmp_path)
+
+    main(A())
+    vocab = json.load(open(tmp_path / "vocab.json"))
+    assert set(vocab) == {"ran", "walked"}
+    train = pd.read_csv(tmp_path / "training.csv")
+    assert all("_____" in q for q in train["question"])
+
+
+def test_step_profiler(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from frozenbilm_tpu.utils.profiling import StepProfiler, annotate, device_memory_stats
+
+    logdir = str(tmp_path / "trace")
+    prof = StepProfiler(logdir=logdir, start_step=1, num_steps=2)
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    for i in range(4):
+        with prof.step(tokens=128):
+            with annotate("toy_step"):
+                f(jnp.ones((64, 64))).block_until_ready()
+    prof.close()
+    s = prof.summary()
+    assert s["steps"] == 4 and s["steps_per_sec"] > 0
+    assert s["tokens_per_sec"] > 0
+    # the trace window actually wrote profiler artifacts
+    assert any(os.scandir(logdir))
