@@ -1,0 +1,83 @@
+"""Tensor-parallel parameter shardings for the GPT family.
+
+The reference offers layer-sharding model parallelism for GPT-J/Neo via HF
+parallelize(device_map) with per-layer device hops (gptj.py:421-454,
+577-638) — a sequential pipeline that would serialize on TPU. The TPU-native
+equivalent is Megatron-style tensor parallelism over the mesh 'model' axis:
+column-parallel qkv/fc_in, row-parallel out_proj/fc_out, sharded vocab
+head; XLA GSPMD inserts the all-reduces over ICI.
+
+Specs are path-based so they apply to the stacked-layer trees (leading
+layer axis stays unsharded).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frozenbilm_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _gpt_spec_for(path_names, leaf) -> P:
+    names = list(path_names)
+    ndim = np.ndim(leaf) if not hasattr(leaf, "ndim") else leaf.ndim
+    stacked = names and names[0] == "layers"
+    lead = (None,) if stacked else ()
+
+    def spec(*dims):
+        return P(*(lead + dims))
+
+    joined = "/".join(names)
+    # column-parallel: shard the output features
+    if any(f"{n}/kernel" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")):
+        return spec(None, MODEL_AXIS)
+    if any(f"{n}/bias" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")):
+        return spec(MODEL_AXIS)
+    # row-parallel: shard the input features; bias replicated
+    if any(f"{n}/kernel" in joined for n in ("out_proj", "fc_out", "c_proj")):
+        return spec(MODEL_AXIS, None)
+    # vocab head: shard the vocabulary dim
+    if names[:1] == ["lm_head"] and names[-1] == "kernel":
+        return P(None, MODEL_AXIS)
+    if names[:1] == ["lm_head"] and names[-1] == "bias":
+        return P(MODEL_AXIS)
+    if names[:1] == ["wte"]:
+        return P(None, None)
+    return spec(*([None] * (ndim - len(lead))))
+
+
+def gpt_param_specs(params: Dict) -> Dict:
+    """PartitionSpec pytree for GPT-J / GPT-Neo parameter trees."""
+
+    def path_names(path):
+        out = []
+        for k in path:
+            out.append(str(k.key) if hasattr(k, "key") else str(getattr(k, "idx", k)))
+        return out
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _gpt_spec_for(path_names(path), leaf), params
+    )
+
+
+def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
+    """Place each leaf with its NamedSharding (replicates where spec is P())."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def validate_divisibility(params: Dict, specs: Dict, model_axis_size: int) -> None:
+    """Every sharded dim must divide by the model-axis size."""
+
+    def check(x, s):
+        for dim, axis in enumerate(s):
+            if axis == MODEL_AXIS and x.shape[dim] % model_axis_size != 0:
+                raise ValueError(
+                    f"dim {dim} of shape {x.shape} not divisible by model={model_axis_size}")
+
+    jax.tree.map(check, params, specs)
