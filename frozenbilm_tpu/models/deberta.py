@@ -46,7 +46,11 @@ from frozenbilm_tpu.models.common import (
     split_heads,
 )
 from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index, masked_softmax
-from frozenbilm_tpu.ops.rel_pos import build_c2p_p2c_indices
+from frozenbilm_tpu.ops.rel_pos import (
+    build_c2p_p2c_indices,
+    onehot_gather_tables,
+    used_bucket_range,
+)
 
 
 class DebertaOutput(NamedTuple):
@@ -229,6 +233,9 @@ def _disentangled_attention(
         rel_emb = dropout(
             rngs.next(), rel_emb, cfg.hidden_dropout_prob, deterministic
         )  # pos_dropout (deberta.py:779)
+        c2p_idx, p2c_idx, onehot = rel_idx
+        # only the used bucket band of the table is projected (ops/rel_pos.py:
+        # used_bucket_range) — the gathers below never index outside it
         if cfg.share_att_key:
             pos_key = split_heads(linear(p_self["key_proj"], rel_emb[None]), nh)[0]
             pos_query = split_heads(linear(p_self["query_proj"], rel_emb[None]), nh)[0]
@@ -243,24 +250,42 @@ def _disentangled_attention(
                 if "pos_query_proj" in p_self
                 else None
             )
-        c2p_idx, p2c_idx = rel_idx
         if "c2p" in cfg.pos_att_type:
-            # (B,H,Lq,2span) then Toeplitz gather along the bucket axis
+            # (B,H,Lq,band) then Toeplitz selection along the bucket axis
             c2p_full = jnp.einsum(
                 "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
             )
-            c2p = jnp.take_along_axis(
-                c2p_full, jnp.asarray(c2p_idx)[None, None], axis=-1
-            )
+            if onehot is not None:
+                # one-hot contraction instead of gather: TPU gathers force
+                # layout-transpose copies of the whole (B,H,L,band) operand
+                c2p = jnp.einsum(
+                    "bhik,ijk->bhij", c2p_full,
+                    jnp.asarray(onehot[0], c2p_full.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                c2p = jnp.take_along_axis(
+                    c2p_full, jnp.asarray(c2p_idx)[None, None], axis=-1
+                )
             scores = scores + c2p / scale
         if "p2c" in cfg.pos_att_type:
             p2c_full = jnp.einsum(
                 "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
             )
-            p2c = jnp.take_along_axis(
-                p2c_full, jnp.asarray(p2c_idx)[None, None], axis=-1
-            )
-            scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+            if onehot is not None:
+                # p2c table is indexed [j, i, k'] so this lands directly as [i, j]
+                p2c_t = jnp.einsum(
+                    "bhjk,jik->bhij", p2c_full,
+                    jnp.asarray(onehot[1], p2c_full.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                p2c_t = jnp.swapaxes(
+                    jnp.take_along_axis(
+                        p2c_full, jnp.asarray(p2c_idx)[None, None], axis=-1
+                    ), -1, -2,
+                )
+            scores = scores + p2c_t / scale
 
     probs = masked_softmax(scores, mask_outer[:, None, :, :])
     probs = dropout(rngs.next(), probs, cfg.attention_probs_dropout_prob, deterministic)
@@ -351,9 +376,24 @@ def _encoder_forward(
     mask_outer = (attention_mask[:, :, None] * attention_mask[:, None, :]).astype(jnp.int32)
     rel_emb = _get_rel_embedding(enc_params, cfg)
     L = hidden.shape[1]
-    rel_idx = build_c2p_p2c_indices(
+    c2p_idx, p2c_idx = build_c2p_p2c_indices(
         L, cfg.pos_ebd_size, cfg.position_buckets, cfg.effective_max_relative_positions
     )
+    lo, hi = used_bucket_range(
+        L, cfg.pos_ebd_size, cfg.position_buckets, cfg.effective_max_relative_positions
+    )
+    if rel_emb is not None:
+        rel_emb = rel_emb[lo:hi]  # only the touched bucket band (HBM saver)
+    band = hi - lo
+    # one-hot matmul selection beats gather for short sequences; gate on the
+    # constant's footprint (streamed per layer)
+    onehot = None
+    if L * L * band <= 4_000_000:
+        onehot = onehot_gather_tables(
+            L, cfg.pos_ebd_size, cfg.position_buckets,
+            cfg.effective_max_relative_positions,
+        )
+    rel_idx = (c2p_idx - lo, p2c_idx - lo, onehot)
 
     layers = enc_params["layers"]
     n_layers = cfg.num_hidden_layers

@@ -72,3 +72,42 @@ def build_c2p_p2c_indices(
     c2p = np.clip(rel + att_span, 0, att_span * 2 - 1).astype(np.int32)
     p2c = np.clip(-rel + att_span, 0, att_span * 2 - 1).astype(np.int32)
     return c2p, p2c
+
+
+@functools.lru_cache(maxsize=16)
+def onehot_gather_tables(
+    seq_len: int, att_span: int, bucket_size: int, max_position: int
+):
+    """One-hot matrices turning the c2p/p2c gathers into matmuls.
+
+    TPU gathers over (B, H, L, band) force layout-transpose copies of the
+    whole operand (seen in xprof: ~0.4 ms/layer of raw copies at B=32);
+    contracting against a one-hot constant keeps everything in MXU-friendly
+    layouts. Tables are uint8 (L, L, band), indexed [i, j, k']:
+      c2p_tbl[i, j, k'] = 1 iff c2p_idx[i, j] - lo == k'
+      p2c_tbl[j, i, k'] = 1 iff p2c_idx[j, i] - lo == k'
+    Only worth it while L*L*band stays small (the caller gates on size).
+    """
+    c2p, p2c = build_c2p_p2c_indices(seq_len, att_span, bucket_size, max_position)
+    lo, hi = used_bucket_range(seq_len, att_span, bucket_size, max_position)
+    band = hi - lo
+    eye = np.eye(band, dtype=np.uint8)
+    return eye[c2p - lo], eye[p2c - lo]
+
+
+@functools.lru_cache(maxsize=64)
+def used_bucket_range(
+    seq_len: int, att_span: int, bucket_size: int, max_position: int
+):
+    """[lo, hi) row range of the relative-position embedding table actually
+    indexed at this sequence length.
+
+    For seq_len L <= bucket mid-point the log bucketing is inactive and only
+    2L-1 of the 2*att_span rows are touched — slicing the positional key/query
+    projections to this band shrinks the (B, H, L, 2*span) bias intermediates
+    (the reference always materializes the full span, deberta.py:870-918).
+    """
+    c2p, p2c = build_c2p_p2c_indices(seq_len, att_span, bucket_size, max_position)
+    lo = int(min(c2p.min(), p2c.min()))
+    hi = int(max(c2p.max(), p2c.max())) + 1
+    return lo, hi
