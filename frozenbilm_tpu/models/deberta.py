@@ -397,21 +397,17 @@ def _encoder_forward(
 
     layers = enc_params["layers"]
     n_layers = cfg.num_hidden_layers
-    layer0 = jax.tree.map(lambda x: x[0], layers)
-    rest = jax.tree.map(lambda x: x[1:], layers)
-
+    has_conv = cfg.conv_kernel_size > 0 and "conv" in enc_params
     rngs0 = RngStream(rng)
-    out0 = _layer_forward(
-        layer0, cfg, vt, hidden, mask_outer, rel_emb, rel_idx,
-        deterministic=deterministic, rngs=rngs0,
-    )
-    if cfg.conv_kernel_size > 0 and "conv" in enc_params:
-        out0 = _conv_layer(
-            enc_params["conv"], cfg, hidden, out0, input_mask,
-            deterministic=deterministic, rngs=rngs0,
-        )
+    conv_key = rngs0.next() if has_conv else None
 
-    def step(carry, lp):
+    # scan over ALL layers: slicing off layer 0 for the conv branch would
+    # physically copy 23/24 of the stacked weights every call (multi-ms HLO
+    # slices on the real chip), and lax.cond inside the scan compiles
+    # pathologically. The conv branch is cheap (~27us), so it runs
+    # unconditionally and a where() keeps it only at layer 0.
+    def step(carry, xs):
+        lp, idx = xs
         h, key = carry
         if key is not None:
             key, sub = jax.random.split(key)
@@ -421,10 +417,17 @@ def _encoder_forward(
             lp, cfg, vt, h, mask_outer, rel_emb, rel_idx,
             deterministic=deterministic, rngs=RngStream(sub),
         )
+        if has_conv:
+            conv_out = _conv_layer(
+                enc_params["conv"], cfg, hidden, out, input_mask,
+                deterministic=deterministic, rngs=RngStream(conv_key),
+            )
+            out = jnp.where(idx == 0, conv_out, out)
         return (out, key), h  # ys collect each layer's *input*
 
     scan_key = rngs0.next()
-    (final, _), layer_inputs = jax.lax.scan(step, (out0, scan_key), rest)
+    (final, _), layer_inputs = jax.lax.scan(
+        step, (hidden, scan_key), (layers, jnp.arange(n_layers)))
     # input to the last layer == last collected carry (encoder_layers[-2])
     hidden_minus2 = layer_inputs[-1] if n_layers > 1 else hidden
     return final, hidden_minus2, mask_outer, rel_emb, rel_idx
