@@ -92,13 +92,18 @@ def _attention(lp, num_heads, x, mask=None):
     k = split_heads(linear(lp["k_proj"], x), num_heads)
     v = split_heads(linear(lp["v_proj"], x), num_heads)
     scale = q.shape[-1] ** -0.5
-    w = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        probs = masked_softmax(w, mask)
+    if mask is None:
+        # vision tower: fused Pallas MHA on TPU (ops/attention.py), jnp
+        # reference elsewhere — no (B,H,L,L) probabilities reach HBM
+        from frozenbilm_tpu.ops.attention import fused_attention
+
+        ctx = fused_attention(q, k, v, scale=scale)
     else:
-        probs = jax.nn.softmax(w, axis=-1)
-    ctx = jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+        w = jnp.einsum("bhid,bhjd->bhij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        probs = masked_softmax(w, mask)
+        ctx = jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
     return linear(lp["out_proj"], merge_heads(ctx))
 
 

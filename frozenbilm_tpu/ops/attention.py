@@ -50,7 +50,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, l_valid):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (Lp, Lp)
-    valid = mask_ref[0, :] != 0  # (Lp,)
+    valid = mask_ref[0, 0, :] != 0  # (Lp,)
     s = jnp.where(valid[None, :], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -80,6 +80,8 @@ def _pallas_mha(q, k, v, mask, scale):
             (jnp.arange(Lp) < L).astype(jnp.int32)[None], (B, Lp))
     else:
         mask_full = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Lp - L)))
+    # TPU blocks need the 2nd-minor dim divisible by 8: carry 8 mask rows
+    mask_full = jnp.broadcast_to(mask_full[:, None, :], (B, 8, Lp))
 
     kernel = functools.partial(_mha_kernel, scale=scale, l_valid=L)
     grid = (B, H)
@@ -94,7 +96,7 @@ def _pallas_mha(q, k, v, mask, scale):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp), lambda b, h: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Lp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -117,13 +119,25 @@ def fused_attention(q, k, v, mask=None, scale: Optional[float] = None,
 
     force=True always uses the kernel (tests run it in interpret mode on
     CPU); force=False always uses the jnp path.
+
+    Default policy: measured on v5e with CLIP ViT-L/14 shapes (L=257, d=64,
+    B*H=2048), XLA's batched attention beats this kernel 2x — d pads 64->128
+    (doubling MXU work) and the per-(batch,head) grid underutilizes. The
+    kernel therefore stays opt-in (FROZENBILM_PALLAS_ATTENTION=1 or
+    force=True) until a head-packed variant lands; at long sequence lengths
+    where the (B,H,L,L) probabilities stop fitting HBM comfortably it is the
+    memory-safe path.
     """
+    import os
+
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     use_kernel = force
     if use_kernel is None:
         use_kernel = (
-            jax.default_backend() == "tpu" and _kernel_block_shapes_ok(q)
+            os.environ.get("FROZENBILM_PALLAS_ATTENTION", "") == "1"
+            and jax.default_backend() == "tpu"
+            and _kernel_block_shapes_ok(q)
         )
     if not use_kernel:
         return attention_reference(q, k, v, mask, scale)

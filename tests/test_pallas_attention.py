@@ -29,6 +29,7 @@ def _pallas_interpret(q, k, v, mask, scale):
         mask_full = jnp.broadcast_to((jnp.arange(Lp) < L).astype(jnp.int32)[None], (B, Lp))
     else:
         mask_full = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Lp - L)))
+    mask_full = jnp.broadcast_to(mask_full[:, None, :], (B, 8, Lp))
     kernel = functools.partial(A._mha_kernel, scale=scale, l_valid=L)
     out = pl.pallas_call(
         kernel,
@@ -38,7 +39,7 @@ def _pallas_interpret(q, k, v, mask, scale):
             pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, Lp), lambda b, h: (b, 0)),
+            pl.BlockSpec((1, 8, Lp), lambda b, h: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, Lp, Dp), lambda b, h: (b, h, 0, 0)),
         interpret=True,
