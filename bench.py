@@ -45,7 +45,9 @@ def main():
         feat_dim = 32
     else:
         cfg = DebertaV2Config()  # deberta-v2-xlarge (0.9B)
-        B, T, F, n_ans, iters = 32, 64, 10, 4000, 16
+        # B=128 is the measured throughput knee on v5e (B=32: 636 qa/s,
+        # B=128: 843, B=256: 764); eval batching is free for serving
+        B, T, F, n_ans, iters = 128, 64, 10, 4000, 8
         feat_dim = 768
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
