@@ -143,6 +143,19 @@ def main(args):
     )
     trainer = Trainer(loss_fn, tx, mesh=mesh)
     state, frozen = create_train_state(params, bundle.vt, tx)
+    if args.resume and args.load and os.path.isdir(args.load) and \
+            os.path.exists(os.path.join(args.load, "opt_state.npz")):
+        # restore optimizer state + start epoch (reference main.py:241-243)
+        import json as _json
+
+        from frozenbilm_tpu.utils.checkpoint import load_opt_state
+
+        opt_state = load_opt_state(args.load, state.opt_state)
+        state = state._replace(opt_state=jax.tree.map(jnp.asarray, opt_state))
+        with open(os.path.join(args.load, "meta.json")) as f:
+            args.start_epoch = int(_json.load(f).get("epoch", -1)) + 1
+        if is_main_process():
+            print(f"resumed optimizer state; start_epoch={args.start_epoch}")
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))
 
@@ -176,8 +189,11 @@ def main(args):
             val_stats = evaluate(state, frozen, trainer, tokenizer, loader_val, args, mesh)
             log_entry.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_dir and is_main_process():
-                save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
-                            state.trainable, {"epoch": epoch})
+                ckpt_dir = os.path.join(args.save_dir, f"checkpoint{epoch:04}")
+                save_params(ckpt_dir, state.trainable, {"epoch": epoch})
+                from frozenbilm_tpu.utils.checkpoint import save_opt_state
+
+                save_opt_state(ckpt_dir, state.opt_state)
         log.append(log_entry)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:

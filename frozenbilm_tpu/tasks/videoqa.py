@@ -268,6 +268,17 @@ def main(args):
             loss_fn, _ = make_qa_steps(bundle, tokenizer.mask_token_id, item.dataset_name)
             trainer = Trainer(loss_fn, tx)
             state, frozen = create_train_state(params, bundle.vt, tx)
+            if args.resume and args.load and os.path.isdir(args.load) and \
+                    os.path.exists(os.path.join(args.load, "opt_state.npz")):
+                from frozenbilm_tpu.utils.checkpoint import load_opt_state
+
+                state = state._replace(opt_state=jax.tree.map(
+                    jnp.asarray, load_opt_state(args.load, state.opt_state)))
+                meta_path = os.path.join(args.load, "meta.json")
+                if os.path.exists(meta_path):
+                    args.start_epoch = int(json.load(open(meta_path)).get("epoch", -1)) + 1
+                if is_main_process():
+                    print(f"resumed optimizer; start_epoch={args.start_epoch}")
             if is_main_process():
                 print("number of params:", count_params(state.trainable))
             rng = jax.random.PRNGKey(args.seed)
@@ -292,8 +303,11 @@ def main(args):
                             )
                     log_stats.append({"epoch": epoch, **{f"val_{k}": v for k, v in out.items()}})
                 if args.save_dir and is_main_process():
-                    save_params(os.path.join(args.save_dir, "ckpt"), state.trainable,
-                                {"epoch": epoch})
+                    ckpt_dir = os.path.join(args.save_dir, "ckpt")
+                    save_params(ckpt_dir, state.trainable, {"epoch": epoch})
+                    from frozenbilm_tpu.utils.checkpoint import save_opt_state
+
+                    save_opt_state(ckpt_dir, state.opt_state)
             # reload best before final test (videoqa.py:489-498)
             if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
                 best, _ = load_params(os.path.join(args.save_dir, "best_model"))

@@ -65,6 +65,28 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     return _unflatten(flat), meta
 
 
+def save_opt_state(path: str, opt_state) -> None:
+    """Save an optax state pytree (arbitrary namedtuples) by leaf index."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree.leaves(opt_state)
+    np.savez(os.path.join(path, "opt_state.npz"),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_opt_state(path: str, template):
+    """Restore an optax state using `template` (e.g. tx.init(params)) for
+    the tree structure — the analogue of optimizer.load_state_dict
+    (reference main.py:241-243)."""
+    import jax
+
+    with np.load(os.path.join(path, "opt_state.npz")) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    treedef = jax.tree.structure(template)
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def overlay_into(template: Dict, loaded: Dict) -> Dict:
     """strict=False load: overwrite template leaves present in `loaded`."""
     import copy

@@ -45,6 +45,21 @@ def _set(tree, path, value):
     node[leaf] = np.asarray(value)
 
 
+def _validate_shapes(template: Dict, out: Dict, path: str = "") -> None:
+    """Every leaf present in both trees must keep the template's shape
+    (a wrong-model .pth should fail loudly, not load silently)."""
+    for k, v in out.items():
+        t = template.get(k) if isinstance(template, dict) else None
+        if t is None:
+            continue
+        if isinstance(v, dict):
+            _validate_shapes(t, v, f"{path}/{k}")
+        elif hasattr(t, "shape") and tuple(np.shape(t)) != tuple(np.shape(v)):
+            raise ValueError(
+                f"shape mismatch at {path}/{k}: template {tuple(np.shape(t))} "
+                f"vs checkpoint {tuple(np.shape(v))}")
+
+
 def _stack_layer_trees(layer_trees):
     """[tree_0, ..., tree_{N-1}] -> one tree with leaves stacked on axis 0."""
     import jax
@@ -69,7 +84,8 @@ def deberta_overlay_from_torch(
     (cls.predictions.transform.*). Missing keys keep template values
     (strict=False semantics).
     """
-    params = copy.deepcopy(jax_tree_to_numpy(params))
+    template = jax_tree_to_numpy(params)
+    params = copy.deepcopy(template)
     p = "deberta."
     emb = params["embeddings"]
 
@@ -165,6 +181,7 @@ def deberta_overlay_from_torch(
         params.setdefault("answers", {})
         params["answers"]["bias"] = np.asarray(sd["answer_bias"])
 
+    _validate_shapes(template, params)
     return params
 
 
@@ -175,7 +192,8 @@ def deberta_overlay_from_torch(
 
 def _gpt_overlay(params: Dict, sd: Dict[str, np.ndarray], n_layers: int,
                  attn_prefix: str, mlp_names, has_wpe: bool) -> Dict:
-    params = copy.deepcopy(jax_tree_to_numpy(params))
+    template = jax_tree_to_numpy(params)
+    params = copy.deepcopy(template)
     p = "transformer."
     if p + "wte.weight" in sd:
         _set(params, ("wte",), sd[p + "wte.weight"])
@@ -204,6 +222,7 @@ def _gpt_overlay(params: Dict, sd: Dict[str, np.ndarray], n_layers: int,
                 layer["ln_2"] = _ln(sd, lp + "ln_2")
             trees.append(layer)
         _merge_overlay(params["layers"], _stack_layer_trees(trees))
+    _validate_shapes(template, params)
     return params
 
 
@@ -233,7 +252,8 @@ def bert_overlay_from_torch(
 ) -> Dict:
     """Overlay a torch BERT state dict (FrozenBiLM naming `bert.*`/`cls.*`,
     reference model/bert.py) onto an init-built template."""
-    params = copy.deepcopy(jax_tree_to_numpy(params))
+    template = jax_tree_to_numpy(params)
+    params = copy.deepcopy(template)
     p = "bert."
     emb = params["embeddings"]
     for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
@@ -282,6 +302,7 @@ def bert_overlay_from_torch(
     if "answer_bias" in sd:
         params.setdefault("answers", {})
         params["answers"]["bias"] = np.asarray(sd["answer_bias"])
+    _validate_shapes(template, params)
     return params
 
 

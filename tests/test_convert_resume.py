@@ -1,0 +1,131 @@
+"""Converter CLI + optimizer-state checkpoint/resume tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_convert_features_cli(tmp_path):
+    import torch
+
+    feats = {f"v{i}": torch.randn(5, 8) for i in range(3)}
+    pth = tmp_path / "clipvitl14.pth"
+    torch.save(feats, pth)
+    from scripts.convert import convert_features
+
+    class A:
+        pass
+
+    a = A(); a.pth = str(pth); a.out = str(tmp_path / "packed")
+    a.features_dim = 8; a.dtype = "float16"
+    convert_features(a)
+    from frozenbilm_tpu.data.features import PackedFeatureStore
+
+    store = PackedFeatureStore(str(tmp_path / "packed"))
+    np.testing.assert_allclose(store.get("v1"), feats["v1"].numpy(), atol=1e-2)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """Reference-format .pth (partial, adapters only) -> native params dir."""
+    import torch
+
+    # a fake released downstream ckpt: only updated params, wrapped in {model:}
+    sd = {
+        "model": {
+            "deberta.embeddings.linear_video.weight": torch.randn(64, 768),
+            "deberta.embeddings.linear_video.bias": torch.randn(64),
+        }
+    }
+    pth = tmp_path / "downstream.pth"
+    torch.save(sd, pth)
+    from scripts.convert import convert_checkpoint
+
+    class A:
+        pass
+
+    a = A(); a.pth = str(pth); a.model_name = "deberta-v2-xlarge"
+    a.out = str(tmp_path / "native"); a.n_ans = 0; a.ds_factor = 8
+    a.features_dim = 768
+    # shrink: overlay requires shape match on linear_video (hidden 1536) -> expect failure
+    with pytest.raises(ValueError):
+        convert_checkpoint(a)
+    # correct hidden size
+    sd["model"]["deberta.embeddings.linear_video.weight"] = torch.randn(1536, 768)
+    sd["model"]["deberta.embeddings.linear_video.bias"] = torch.randn(1536)
+    torch.save(sd, pth)
+    convert_checkpoint(a)
+    from frozenbilm_tpu.utils.checkpoint import load_params
+
+    params, meta = load_params(str(tmp_path / "native"))
+    assert params["embeddings"]["linear_video"]["kernel"].shape == (768, 1536)
+    assert meta["model_name"] == "deberta-v2-xlarge"
+
+
+def test_opt_state_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"a": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}}
+    tx = optax.chain(optax.clip_by_global_norm(0.1), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = tx.update(grads, opt_state, params)
+
+    from frozenbilm_tpu.utils.checkpoint import load_opt_state, save_opt_state
+
+    save_opt_state(str(tmp_path), opt_state)
+    restored = load_opt_state(str(tmp_path), tx.init(params))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrain_resume(tmp_path):
+    """Train 1 epoch, resume from its checkpoint: optimizer state and
+    start_epoch restore (reference --resume, main.py:241-243)."""
+    import pandas as pd
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.pretrain import main
+
+    model_dir = tmp_path / "bert-tiny"
+    model_dir.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "cat", "dog"]
+    (model_dir / "vocab.txt").write_text("\n".join(vocab))
+    json.dump({
+        "vocab_size": len(vocab), "hidden_size": 32, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "max_position_embeddings": 32, "type_vocab_size": 2, "pad_token_id": 0,
+    }, open(model_dir / "config.json", "w"))
+    webvid = tmp_path / "WebVid"
+    webvid.mkdir()
+    for split in ("train", "val"):
+        pd.DataFrame({"video_id": ["v0"] * 8, "text": ["a cat"] * 8}).to_csv(
+            webvid / f"{split}_captions.csv", index=False)
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    np.save(feat_dir / "v0.mp4.npy", np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32))
+
+    save = tmp_path / "run"
+    base = [
+        "--combine_datasets", "webvid", "--combine_datasets_val", "webvid",
+        "--model_name", "bert-base-uncased", "--tokenizer_path", str(model_dir),
+        "--webvid_train_csv_path", str(webvid / "train_captions.csv"),
+        "--webvid_val_csv_path", str(webvid / "val_captions.csv"),
+        "--webvid_features_path", str(feat_dir),
+        "--features_dim", "8", "--max_feats", "4", "--max_tokens", "12",
+        "--batch_size", "8", "--batch_size_val", "8", "--print_freq", "1",
+        "--lr", "1e-3", "--save_dir", str(save),
+    ]
+    main(get_args_parser().parse_args(base + ["--epochs", "1"]))
+    ckpt = save / "checkpoint0000"
+    assert (ckpt / "opt_state.npz").exists()
+
+    log = main(get_args_parser().parse_args(
+        base + ["--epochs", "2", "--load", str(ckpt), "--resume"]))
+    # resumed run trains only epoch 1
+    assert [e["epoch"] for e in log] == [1]
