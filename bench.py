@@ -68,13 +68,16 @@ def main():
     video = jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
     vm = jnp.ones((B, F), jnp.int32)
 
+    from frozenbilm_tpu.models.deberta import deberta_answer_logits
+
     @jax.jit
     def timed_loop(params, ids, am, video, vm):
         def body(i, acc):
             ids_i = (ids + i) % cfg.vocab_size  # defeat CSE across iterations
-            logits = deberta_forward(
-                params, cfg, vt, ids_i, am, video, vm, mlm=False
-            ).logits
+            out = deberta_forward(params, cfg, vt, ids_i, am, video, vm, mlm=False)
+            # the videoqa eval computation: answer head at the [MASK] position
+            h = out.last_hidden_state[:, F + 7]
+            logits = deberta_answer_logits(params, cfg, h)
             return acc + logits.mean()
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))

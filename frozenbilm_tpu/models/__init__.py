@@ -27,6 +27,7 @@ class ModelBundle:
     forward: Callable  # (params, cfg, vt, ...) -> output
     set_answer_embeddings: Optional[Callable] = None  # (params, a2tok) -> params
     score: Optional[Callable] = None  # AR teacher-forced scoring
+    answer_logits: Optional[Callable] = None  # (params, hidden) -> (.., n_ans)
 
 
 def family_of(model_name: str) -> str:
@@ -67,6 +68,7 @@ def build_model(args) -> ModelBundle:
             forward=m.deberta_forward,
             set_answer_embeddings=lambda p, a2tok: m.set_answer_embeddings(
                 p, a2tok, pad_token_id=cfg.pad_token_id),
+            answer_logits=lambda p, h: m.deberta_answer_logits(p, cfg, h),
         )
     if family == "bert":
         # the reference asserts no adapters/scratch for BERT (model/__init__.py:49-51)
@@ -79,6 +81,7 @@ def build_model(args) -> ModelBundle:
             forward=m.bert_forward,
             set_answer_embeddings=lambda p, a2tok: m.set_answer_embeddings_bert(
                 p, a2tok, pad_token_id=cfg.pad_token_id),
+            answer_logits=lambda p, h: m.bert_answer_logits(p, cfg, h),
         )
     if family in ("gptneo", "gptj"):
         assert not vt.ds_factor_attn and not vt.ds_factor_ff and not args.scratch

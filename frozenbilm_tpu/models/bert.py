@@ -138,6 +138,17 @@ def _layer(lp, cfg, hidden, mask_2d, *, deterministic, rngs):
     return _add_norm(lp["output"], cfg, inter, attn_out, deterministic=deterministic, rngs=rngs)
 
 
+def bert_answer_logits(params, cfg: BertConfig, hidden: jax.Array) -> jax.Array:
+    """Downstream answer head on arbitrary hidden states (see deberta.py:
+    deberta_answer_logits for the rationale)."""
+    h = linear(params["lm_head"]["dense"], hidden)
+    h = ACT2FN[cfg.hidden_act](h)
+    h = layer_norm(params["lm_head"]["LayerNorm"], h, cfg.layer_norm_eps)
+    answers = params["answers"]
+    return jnp.dot(h, answers["embeddings"].T.astype(h.dtype),
+                   preferred_element_type=jnp.float32) + answers["bias"]
+
+
 def bert_forward(
     params,
     cfg: BertConfig,

@@ -461,6 +461,18 @@ def _lm_head(p_head, cfg, hidden, embedding_weight, bias):
     return logits + bias.astype(logits.dtype)
 
 
+def deberta_answer_logits(params, cfg: DebertaV2Config, hidden: jax.Array) -> jax.Array:
+    """Downstream answer-vocab head on arbitrary hidden states (.., H).
+
+    Lets eval steps gather the [MASK]-position hidden BEFORE the head, so
+    the (B, L, n_ans) full-position logits (and the per-position head
+    transform) never get computed — XLA dead-code-eliminates them from
+    forward() when only last_hidden_state is consumed.
+    """
+    answers = params["answers"]
+    return _lm_head(params["lm_head"], cfg, hidden, answers["embeddings"], answers["bias"])
+
+
 def deberta_forward(
     params,
     cfg: DebertaV2Config,

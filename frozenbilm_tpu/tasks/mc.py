@@ -56,7 +56,13 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
         vmask_t = jnp.tile(video_mask, (mc, 1))
         out = bundle.forward(params, cfg, vt, flat_ids, flat_am, video_t, vmask_t,
                              mlm=False)
-        logits = mask_logits(out.logits, flat_ids, mask_token_id, delay)
+        if bundle.answer_logits is not None:
+            hidden = out.last_hidden_state[:, delay: delay + L]
+            pos = jnp.argmax((flat_ids == mask_token_id).astype(jnp.int32), axis=1)
+            h = jnp.take_along_axis(hidden, pos[:, None, None], axis=1)[:, 0]
+            logits = bundle.answer_logits(params, h)
+        else:
+            logits = mask_logits(out.logits, flat_ids, mask_token_id, delay)
         p_yes = jax.nn.softmax(logits, axis=-1)[:, 0]
         return p_yes.reshape(mc, B).T  # (B, mc)
 

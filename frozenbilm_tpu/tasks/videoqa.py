@@ -77,21 +77,31 @@ def make_qa_steps(bundle: ModelBundle, mask_token_id: int, dataset_name: str,
     cfg, vt = bundle.cfg, bundle.vt
     delay = vt.max_feats if vt.features_dim else 0
 
+    def answer_scores(params, input_ids, attention_mask, video, video_mask,
+                      *, deterministic=True, rng=None):
+        out = bundle.forward(params, cfg, vt, input_ids, attention_mask,
+                             video, video_mask, mlm=False,
+                             deterministic=deterministic, rng=rng)
+        if bundle.answer_logits is not None:
+            # gather the [MASK]-position hidden first; XLA then DCEs the
+            # full-position head from forward() (only last_hidden_state used)
+            hidden = out.last_hidden_state[:, delay: delay + input_ids.shape[1]]
+            pos = jnp.argmax((input_ids == mask_token_id).astype(jnp.int32), axis=1)
+            h = jnp.take_along_axis(hidden, pos[:, None, None], axis=1)[:, 0]
+            return bundle.answer_logits(params, h)
+        return mask_logits(out.logits, input_ids, mask_token_id, delay)
+
     def loss_fn(params, batch, rng):
-        out = bundle.forward(
-            params, cfg, vt,
-            batch["input_ids"], batch["attention_mask"],
+        logits = answer_scores(
+            params, batch["input_ids"], batch["attention_mask"],
             batch.get("video"), batch.get("video_mask"),
-            mlm=False, deterministic=rng is None, rng=rng,
+            deterministic=rng is None, rng=rng,
         )
-        logits = mask_logits(out.logits, batch["input_ids"], mask_token_id, delay)
         return qa_loss(logits, batch["answer_id"], dataset_name), {}
 
     @jax.jit
     def eval_step(params, input_ids, attention_mask, video, video_mask):
-        out = bundle.forward(params, cfg, vt, input_ids, attention_mask,
-                             video, video_mask, mlm=False)
-        logits = mask_logits(out.logits, input_ids, mask_token_id, delay)
+        logits = answer_scores(params, input_ids, attention_mask, video, video_mask)
         probs = jax.nn.softmax(logits, axis=-1)
         k = min(topk, probs.shape[-1])
         top_p, top_ids = jax.lax.top_k(probs, k)
@@ -100,8 +110,13 @@ def make_qa_steps(bundle: ModelBundle, mask_token_id: int, dataset_name: str,
     return loss_fn, eval_step
 
 
+def _buckets(args):
+    raw = getattr(args, "length_buckets", "")
+    return [int(x) for x in raw.split(",") if x.strip()] if raw else None
+
+
 def _encode(tokenizer, texts, args):
-    batch = encode_batch(tokenizer, texts, args.max_tokens)
+    batch = encode_batch(tokenizer, texts, args.max_tokens, buckets=_buckets(args))
     if not args.suffix and not args.use_context:
         batch = strip_sep_tokens(batch, tokenizer.sep_token_id, tokenizer.pad_token_id)
     return batch
@@ -119,9 +134,18 @@ def _device_batch(batch_dict, encoded):
 
 
 def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
-             thresholds=(1, 10), split="test", type_map=None):
-    """Reference evaluate (videoqa.py:116-246): per-qid result dict + accs."""
+             thresholds=(1, 10), split="test", type_map=None, mesh=None):
+    """Reference evaluate (videoqa.py:116-246): per-qid result dict + accs.
+
+    With a mesh, eval batches are sharded over the 'data' axis; the last
+    batch pads to the axis size and padded rows are dropped host-side (the
+    completeness assert below is the reference's gathered-results invariant,
+    videoqa.py:216)."""
     _, eval_step = make_qa_steps(bundle, tokenizer.mask_token_id, dataset_name)
+    if mesh is not None:
+        from frozenbilm_tpu.parallel.mesh import replicate as _replicate
+
+        params = _replicate(mesh, params)
     metric_logger = MetricLogger()
     res: Dict = {}
     soft = dataset_name in ("ivqa", "vqa")
@@ -129,9 +153,18 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
         encoded = _encode(tokenizer, batch_dict["text"], args)
         db = _device_batch(batch_dict, encoded)
+        n_real = db["input_ids"].shape[0]
+        if mesh is not None:
+            from frozenbilm_tpu.parallel.mesh import shard_batch
+
+            n_data = mesh.shape["data"]
+            pad = (-n_real) % n_data
+            if pad:
+                db = {k: jnp.concatenate([v] + [v[-1:]] * pad) for k, v in db.items()}
+            db = shard_batch(mesh, db)
         top_ids, _ = eval_step(params, db["input_ids"], db["attention_mask"],
                                db["video"], db["video_mask"])
-        top_ids = np.asarray(top_ids)
+        top_ids = np.asarray(top_ids)[:n_real]
 
         answer_id = batch_dict["answer_id"]
         if soft:
@@ -249,6 +282,13 @@ def main(args):
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
 
+    mesh = None
+    if jax.device_count() > 1:
+        from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        n_data = jax.device_count() // max(1, args.mesh_model)
+        mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
+
     tx = None
     log_stats = []
     for item in tuples:
@@ -292,7 +332,8 @@ def main(args):
                     cur = merge_params(state.trainable, frozen)
                     _, out = evaluate(cur, bundle, tokenizer, item.loader_val,
                                       item.dataset_name, args, split="val",
-                                      type_map=item.dataset_test.type_map)
+                                      type_map=item.dataset_test.type_map,
+                                      mesh=mesh)
                     if args.save_dir and out["acc1"] > best_acc:
                         best_acc, best_epoch = out["acc1"], epoch
                         if is_main_process():
@@ -322,7 +363,7 @@ def main(args):
         results, out = evaluate(params, bundle, tokenizer, item.loader_test,
                                 item.dataset_name, args,
                                 split="val" if (args.eval and not args.test) else "test",
-                                type_map=item.dataset_test.type_map)
+                                type_map=item.dataset_test.type_map, mesh=mesh)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, f"{item.dataset_name}.json"), "w") as f:
                 json.dump(results, f)
