@@ -30,10 +30,14 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        transform=None,
     ):
+        """`transform(batch) -> batch` runs in the prefetch thread (use it
+        for tokenization so host text processing overlaps device steps)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
+        self.transform = transform
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -67,7 +71,10 @@ class DataLoader:
         end = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
             chunk = idx[s: s + self.batch_size]
-            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+            batch = self.collate_fn([self.dataset[int(i)] for i in chunk])
+            if self.transform is not None:
+                batch = self.transform(batch)
+            yield batch
 
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0:

@@ -198,6 +198,9 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
+    from frozenbilm_tpu.train.partition import apply_param_dtype
+
+    params = apply_param_dtype(params, bundle.vt, args.param_dtype)
 
     # answer embeddings <- {Yes, No} token embeddings (mc.py:280-305)
     a2tok = answers_to_token_ids(tokenizer, ["Yes", "No"], args.max_atokens)

@@ -83,6 +83,9 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
+    from frozenbilm_tpu.train.partition import apply_param_dtype
+
+    params = apply_param_dtype(params, bundle.vt, args.param_dtype)
 
     steps_per_epoch = len(loader_train) if loader_train else 1
     tx = make_optimizer(

@@ -91,3 +91,24 @@ def merge_params(trainable: Dict, frozen: Dict) -> Dict:
 
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree) if x is not None)
+
+
+def apply_param_dtype(params: Dict, vt: VideoTextConfig, dtype_name: str) -> Dict:
+    """Cast FROZEN float leaves to the deployment dtype (--param_dtype).
+
+    Trainable leaves stay float32 (optimizer precision); bfloat16 frozen
+    weights halve HBM for the 0.9B backbone and feed the MXU natively.
+    """
+    import jax.numpy as jnp
+
+    if dtype_name in ("", "float32"):
+        return params
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.dtype(dtype_name)
+    mask = trainable_mask(params, vt)
+
+    def cast(p, m):
+        if not m and hasattr(p, "dtype") and p.dtype == jnp.float32:
+            return p.astype(dtype)
+        return p
+
+    return jax.tree.map(cast, params, mask)
