@@ -392,6 +392,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="HF tokenizer path; defaults to $TRANSFORMERS_CACHE/<model_name>")
     parser.add_argument("--profile_dir", default="",
                         help="capture an xprof trace window of training steps here")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder layers on backward (memory saver)")
 
     return parser
 

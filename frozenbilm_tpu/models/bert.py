@@ -162,6 +162,7 @@ def bert_forward(
     mlm: bool = False,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> BertOutput:
     B, T = input_ids.shape
     if attention_mask is None:
@@ -197,6 +198,9 @@ def bert_forward(
         out = _layer(lp, cfg, h, attention_mask, deterministic=deterministic, rngs=RngStream(sub))
         return (out, key), None
 
+    if remat:
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     (hidden, _), _ = jax.lax.scan(step, (x, rngs.next()), params["encoder"]["layers"])
 
     # MLM head (bert.py:74-107)

@@ -365,7 +365,8 @@ def _get_rel_embedding(enc_params, cfg):
 
 
 def _encoder_forward(
-    enc_params, cfg, vt, hidden, attention_mask, *, deterministic, rng
+    enc_params, cfg, vt, hidden, attention_mask, *, deterministic, rng,
+    remat: bool = False,
 ):
     """Run all layers; returns (final_hidden, input_to_last_layer).
 
@@ -425,6 +426,11 @@ def _encoder_forward(
             out = jnp.where(idx == 0, conv_out, out)
         return (out, key), h  # ys collect each layer's *input*
 
+    if remat:
+        # rematerialize layer activations on the backward pass (training
+        # memory <-> FLOPs trade; matmul outputs stay saved)
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     scan_key = rngs0.next()
     (final, _), layer_inputs = jax.lax.scan(
         step, (hidden, scan_key), (layers, jnp.arange(n_layers)))
@@ -486,6 +492,7 @@ def deberta_forward(
     mlm: bool = False,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> DebertaOutput:
     """Full forward pass (deberta.py:1414-1501).
 
@@ -530,7 +537,7 @@ def deberta_forward(
     # --- encoder ---
     final, hidden_minus2, mask_outer, rel_emb, rel_idx = _encoder_forward(
         params["encoder"], cfg, vt, x, attention_mask,
-        deterministic=deterministic, rng=rngs.next(),
+        deterministic=deterministic, rng=rngs.next(), remat=remat,
     )
 
     # --- Enhanced Mask Decoder (only when no absolute positions in input) ---

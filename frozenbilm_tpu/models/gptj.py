@@ -162,6 +162,7 @@ def gptj_forward(
     mlm: bool = False,  # unused; kept for a uniform bundle interface
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> GPTOutput:
     del mlm
     B, T = input_ids.shape
@@ -196,6 +197,9 @@ def gptj_forward(
                      deterministic=deterministic, rngs=RngStream(sub))
         return (out, key), None
 
+    if remat:
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     (x, _), _ = jax.lax.scan(step, (x, rngs.next()), params["layers"])
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = linear(params["lm_head"], x).astype(jnp.float32)

@@ -133,6 +133,7 @@ def gptneo_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     position_ids: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> GPTOutput:
     del mlm
     B, T = input_ids.shape
@@ -173,6 +174,9 @@ def gptneo_forward(
                      deterministic=deterministic, rngs=RngStream(sub))
         return (out, key), None
 
+    if remat:
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     (x, _), _ = jax.lax.scan(step, (x, rngs.next()), (params["layers"], is_local))
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = linear(params["lm_head"], x).astype(jnp.float32)

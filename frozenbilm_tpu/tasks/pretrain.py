@@ -143,6 +143,7 @@ def main(args):
         vocab_size=bundle.cfg.vocab_size,
         pad_token_id=tokenizer.pad_token_id or 0,
         mlm_probability=args.mlm_prob,
+        remat=args.remat,
     )
     trainer = Trainer(loss_fn, tx, mesh=mesh)
     state, frozen = create_train_state(params, bundle.vt, tx)

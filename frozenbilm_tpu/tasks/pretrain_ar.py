@@ -30,14 +30,14 @@ from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
 
-def make_ar_loss_fn(bundle):
+def make_ar_loss_fn(bundle, bundle_remat: bool = False):
     def loss_fn(params, batch, rng):
         out = bundle.forward(
             params, bundle.cfg, bundle.vt,
             batch["input_ids"], batch["attention_mask"],
             batch.get("video"), batch.get("video_mask"),
             labels=batch["input_ids"],  # labels == inputs (main_ar.py:62-67)
-            deterministic=rng is None, rng=rng,
+            deterministic=rng is None, rng=rng, remat=bundle_remat,
         )
         return out.loss, {}
 
@@ -94,7 +94,7 @@ def main(args):
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
     )
-    trainer = Trainer(make_ar_loss_fn(bundle), tx)
+    trainer = Trainer(make_ar_loss_fn(bundle, bundle_remat=args.remat), tx)
     state, frozen = create_train_state(params, bundle.vt, tx)
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))

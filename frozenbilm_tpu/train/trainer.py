@@ -113,6 +113,7 @@ def make_mlm_loss_fn(
     vocab_size: int,
     pad_token_id: int = 0,
     mlm_probability: float = 0.15,
+    remat: bool = False,
 ) -> LossFn:
     """Cross-modal MLM objective: corrupt inside the step, forward, CE loss.
 
@@ -142,7 +143,7 @@ def make_mlm_loss_fn(
             input_ids, batch["attention_mask"],
             batch.get("video"), batch.get("video_mask"),
             labels=labels, mlm=True,
-            deterministic=deterministic, rng=fwd_rng,
+            deterministic=deterministic, rng=fwd_rng, remat=remat,
         )
         return out.loss, {}
 

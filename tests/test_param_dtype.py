@@ -80,3 +80,19 @@ def test_loader_transform_runs_in_prefetch():
     out = list(dl)
     assert len(out) == 3 and out[0]["x"] == [0, 10]
     assert calls == [2, 2, 2]
+
+
+def test_remat_grads_match():
+    """jax.checkpoint on the layer scan must not change gradients."""
+    params = init_deberta_params(jax.random.PRNGKey(0), CFG, VT)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 99, (2, 8)))
+    labels = jnp.where(jnp.arange(8)[None] % 2 == 0, ids, -100)
+
+    def loss(p, remat):
+        return deberta_forward(p, CFG, VT, ids, labels=labels, mlm=True,
+                               remat=remat).loss
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
