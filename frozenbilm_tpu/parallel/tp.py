@@ -65,10 +65,19 @@ def gpt_param_specs(params: Dict) -> Dict:
 
 
 def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
-    """Place each leaf with its NamedSharding (replicates where spec is P())."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    """Place each leaf with its NamedSharding (replicates where spec is P()).
+
+    Leaves whose sharded dims don't divide by the axis size fall back to
+    replication (e.g. GPT-Neo's odd 50257-token vocab head)."""
+
+    def place(x, s):
+        for dim, axis in enumerate(s):
+            if axis is not None and x.shape[dim] % mesh.shape[axis] != 0:
+                s = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(place, params, specs)
 
 
 def validate_divisibility(params: Dict, specs: Dict, model_axis_size: int) -> None:

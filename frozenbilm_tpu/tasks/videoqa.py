@@ -225,6 +225,10 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
         encoded = encode_batch(tokenizer, batch_dict["text"], args.max_tokens)
         db = _device_batch(batch_dict, encoded)
         db["answer_id"] = jnp.asarray(batch_dict["answer_id"])
+        if trainer.mesh is not None:
+            from frozenbilm_tpu.parallel.mesh import shard_batch
+
+            db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
@@ -257,8 +261,10 @@ def main(args):
         if not args.eval:
             ds_train = build_videoqa_dataset(dset_name, "train", args, tokenizer.mask_token,
                                              features=ds_test.features)
+            # drop_last keeps every train batch mesh-divisible
             loader_train = DataLoader(ds_train, args.batch_size, collate_fn=videoqa_collate,
-                                      shuffle=True, seed=args.seed)
+                                      shuffle=True, seed=args.seed,
+                                      drop_last=len(ds_train) > args.batch_size)
         tuples.append(nt(dset_name, loader_test, loader_val, loader_train, ds_test))
 
     args.n_ans = len(tuples[-1].dataset_test.a2id)
@@ -309,7 +315,9 @@ def main(args):
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
             )
             loss_fn, _ = make_qa_steps(bundle, tokenizer.mask_token_id, item.dataset_name)
-            trainer = Trainer(loss_fn, tx)
+            train_mesh = mesh if (mesh is not None and
+                                  args.batch_size % mesh.shape["data"] == 0) else None
+            trainer = Trainer(loss_fn, tx, mesh=train_mesh)
             state, frozen = create_train_state(params, bundle.vt, tx)
             if args.resume and args.load and os.path.isdir(args.load) and \
                     os.path.exists(os.path.join(args.load, "opt_state.npz")):

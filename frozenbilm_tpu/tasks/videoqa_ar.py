@@ -155,6 +155,19 @@ def main(args):
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
 
+    if args.mesh_model > 1 and jax.device_count() >= args.mesh_model:
+        # Megatron-style tensor parallelism over the 'model' mesh axis —
+        # replaces the reference's sequential parallelize() device_map
+        # (gptj.py:421-454); XLA inserts the all-reduces over ICI.
+        from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh
+        from frozenbilm_tpu.parallel.tp import gpt_param_specs, shard_params
+
+        mesh = make_mesh(MeshSpec(data=jax.device_count() // args.mesh_model,
+                                  model=args.mesh_model))
+        params = shard_params(mesh, params, gpt_param_specs(params))
+        if is_main_process():
+            print(f"sharded params over mesh {dict(mesh.shape)}")
+
     log_stats = []
     for item in tuples:
         results, out = evaluate(params, bundle, tokenizer, item.loader_test,

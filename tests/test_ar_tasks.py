@@ -94,6 +94,30 @@ def test_videoqa_ar_eval(ar_env, tmp_path):
     assert all(0 <= r["pred"] < 3 for r in results.values())
 
 
+def test_videoqa_ar_eval_tensor_parallel(ar_env, tmp_path):
+    """Same AR eval through the CLI TP path (--mesh_model 2 on the 8-dev mesh)."""
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.videoqa_ar import main
+
+    root, model_dir, data, _, _ = ar_env
+    save = tmp_path / "ar_tp"
+    args = get_args_parser().parse_args([
+        "--combine_datasets", "msvd", "--combine_datasets_val", "msvd",
+        "--model_name", "gpt-neo-1p3b", "--tokenizer_path", str(model_dir),
+        "--msvd_features_path", str(data / "clipvitl14"),
+        "--msvd_val_csv_path", str(data / "val.csv"),
+        "--msvd_test_csv_path", str(data / "val.csv"),
+        "--msvd_train_csv_path", str(data / "val.csv"),
+        "--msvd_vocab_path", str(data / "vocab.json"),
+        "--msvd_subtitles_path", str(data / "subtitles.pkl"),
+        "--features_dim", "8", "--max_feats", "4", "--max_tokens", "48",
+        "--max_atokens", "8", "--batch_size_val", "2", "--print_freq", "1",
+        "--eval", "--save_dir", str(save), "--mesh_model", "2",
+    ])
+    main(args)
+    assert 0.0 <= json.load(open(save / "msvdsummary.json"))["acc1"] <= 1.0
+
+
 def test_pretrain_ar(ar_env, tmp_path):
     from frozenbilm_tpu.config import get_args_parser
     from frozenbilm_tpu.tasks.pretrain_ar import main
