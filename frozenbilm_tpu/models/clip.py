@@ -14,7 +14,7 @@ Architecture (parity-tested against HF CLIPModel with quick_gelu):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 import collections
 import json
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 
 def build_top_k_vocab(answers, k: int = 1000) -> Dict[str, int]:

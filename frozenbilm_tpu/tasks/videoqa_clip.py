@@ -73,7 +73,17 @@ def evaluate(text_params, text_cfg, tokenizer, data_loader, dataset_name, args,
         video = np.asarray(batch_dict["video"], np.float32)  # (B, 1, D)
         flat_texts = [t for per_q in batch_dict["text"] for t in per_q]
         ids = clip_tokenize(tokenizer, flat_texts)
-        text_feats = np.asarray(encode(jnp.asarray(ids)))  # (B*n_ans, D)
+        # B * n_ans rows (tens of thousands for real vocabularies): encode in
+        # fixed-size chunks so one compiled program covers every batch
+        CHUNK = 1024
+        feats = []
+        for s in range(0, len(ids), CHUNK):
+            part = ids[s: s + CHUNK]
+            n = len(part)
+            if n < CHUNK and len(ids) > CHUNK:
+                part = np.concatenate([part, np.tile(part[-1:], (CHUNK - n, 1))])
+            feats.append(np.asarray(encode(jnp.asarray(part)))[:n])
+        text_feats = np.concatenate(feats)  # (B*n_ans, D)
         B = len(video)
         n_ans = len(batch_dict["text"][0])
         text_feats = text_feats.reshape(B, n_ans, -1)
