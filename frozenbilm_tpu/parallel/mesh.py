@@ -73,22 +73,33 @@ def is_main_process() -> bool:
 def host_gather_results(local: Dict[str, Any]) -> Dict[str, Any]:
     """Merge per-host python result dicts across processes.
 
-    Replaces the reference's pickle->ByteTensor padded all_gather
-    (util/dist.py:25-86) + reduce(dict.update) merge (videoqa.py:214-216).
+    Multi-host path mirrors the reference's pickle -> padded byte-tensor
+    all_gather (util/dist.py:25-86): the local dict pickles to bytes, pads
+    to the global max length, gathers via process_allgather, and every host
+    merges all shards (reduce(dict.update), videoqa.py:214-216).
     Single-process (including multi-device single-host) is a no-op merge.
     """
     if jax.process_count() == 1:
         return dict(local)
+    return _gather_pyobj_multihost(local)
+
+
+def _gather_pyobj_multihost(local: Any) -> Dict[str, Any]:
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(local)  # pytree of stacked
-    # process_allgather works on arrays; for generic dicts fall back to
-    # broadcasting pickled bytes through a global barrier-ed exchange.
+    payload = np.frombuffer(pickle.dumps(local), dtype=np.uint8)
+    local_len = np.array([len(payload)], dtype=np.int64)
+    all_lens = np.asarray(multihost_utils.process_allgather(local_len)).reshape(-1)
+    max_len = int(all_lens.max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[: len(payload)] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
     merged: Dict[str, Any] = {}
-    if isinstance(gathered, dict):
-        merged.update(gathered)
-        return merged
-    return dict(local)
+    for shard, n in zip(gathered.reshape(jax.process_count(), max_len), all_lens):
+        merged.update(pickle.loads(shard[: int(n)].tobytes()))
+    return merged
 
 
 def sync_global_devices(tag: str = "barrier") -> None:

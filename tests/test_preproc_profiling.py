@@ -92,3 +92,34 @@ def test_step_profiler(tmp_path):
     assert s["tokens_per_sec"] > 0
     # the trace window actually wrote profiler artifacts
     assert any(os.scandir(logdir))
+
+
+def test_smoothed_value_matches_reference():
+    import torch  # noqa: F401 (reference util.metrics imports torch)
+
+    from tests.reference_loader import _stub_package
+    import importlib
+    import sys
+    import types
+
+    # reference util/dist.py imports the SLURM 'hostlist' helper (absent here)
+    sys.modules.setdefault("hostlist", types.ModuleType("hostlist"))
+    _stub_package("util", "/root/reference/util")
+    ref_metrics = importlib.import_module("util.metrics")
+
+    from frozenbilm_tpu.utils.metrics import SmoothedValue
+
+    ref = ref_metrics.SmoothedValue(window_size=4)
+    ours = SmoothedValue(window_size=4)
+    for v in [3.0, 1.0, 7.0, 2.0, 9.0, 4.0]:
+        ref.update(v)
+        ours.update(v)
+    assert abs(ref.avg - ours.avg) < 1e-9
+    assert abs(ref.global_avg - ours.global_avg) < 1e-9
+    assert ref.max == ours.max and ref.value == ours.value
+    # medians may use different tie conventions; check on an odd window
+    ref2, ours2 = ref_metrics.SmoothedValue(window_size=3), SmoothedValue(window_size=3)
+    for v in [5.0, 1.0, 3.0]:
+        ref2.update(v)
+        ours2.update(v)
+    assert float(ref2.median) == ours2.median == 3.0
