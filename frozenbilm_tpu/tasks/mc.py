@@ -70,22 +70,23 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
         del rng  # adapters' dropout handled by Trainer via forward rng later
         probs = yes_prob(params, batch["input_ids"], batch["attention_mask"],
                          batch["video"], batch["video_mask"])
-        gt = batch["answer_id"]
-        eps = 1e-7
-        probs_c = jnp.clip(probs, eps, 1 - eps)
-        if n_cand > 1:
-            pos = jnp.take_along_axis(probs_c, gt[:, None], axis=1)[:, 0]
-            pos_loss = -jnp.log(pos).mean()
-            neg_mask = jnp.ones_like(probs_c).at[jnp.arange(len(gt)), gt].set(0.0)
-            neg_loss = -(jnp.log(1 - probs_c) * neg_mask).sum() / neg_mask.sum()
-            loss = (pos_loss + neg_loss) / 2  # balanced BCE (mc.py:75-92)
-        else:
-            g = gt.astype(jnp.float32)
-            loss = -(g * jnp.log(probs_c[:, 0]) + (1 - g) * jnp.log(1 - probs_c[:, 0])).mean()
-        return loss, {}
+        return balanced_bce(probs, batch["answer_id"], n_cand), {}
 
     eval_step = jax.jit(yes_prob)
     return loss_fn, eval_step
+
+
+def balanced_bce(probs: jax.Array, gt: jax.Array, n_cand: int) -> jax.Array:
+    """Balanced positive/negative BCE over P(Yes) (reference mc.py:75-92)."""
+    probs_c = jnp.clip(probs, 1e-7, 1 - 1e-7)
+    if n_cand > 1:
+        pos = jnp.take_along_axis(probs_c, gt[:, None], axis=1)[:, 0]
+        pos_loss = -jnp.log(pos).mean()
+        neg_mask = jnp.ones_like(probs_c).at[jnp.arange(len(gt)), gt].set(0.0)
+        neg_loss = -(jnp.log(1 - probs_c) * neg_mask).sum() / neg_mask.sum()
+        return (pos_loss + neg_loss) / 2
+    g = gt.astype(jnp.float32)
+    return -(g * jnp.log(probs_c[:, 0]) + (1 - g) * jnp.log(1 - probs_c[:, 0])).mean()
 
 
 def _encode_candidates(tokenizer, texts, args):
