@@ -24,7 +24,14 @@ def get_tokenizer(args):
         os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name
     )
     if "deberta" in args.model_name:
-        tok = DebertaV2Tokenizer.from_pretrained(path, local_files_only=True)
+        try:
+            tok = DebertaV2Tokenizer.from_pretrained(path, local_files_only=True)
+        except Exception:
+            # slow tokenizer needs sentencepiece; fall back to the fast
+            # (tokenizers-json) implementation when only tokenizer.json exists
+            from transformers import DebertaV2TokenizerFast
+
+            tok = DebertaV2TokenizerFast.from_pretrained(path, local_files_only=True)
     elif "bert" in args.model_name:
         tok = BertTokenizer.from_pretrained(path, local_files_only=True)
     elif "gpt-neo" in args.model_name or "gpt-j" in args.model_name:
