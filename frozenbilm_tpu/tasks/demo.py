@@ -104,7 +104,9 @@ def main(args, vision_cfg=None):
 
 
 def get_demo_parser():
-    parser = get_args_parser()
+    import argparse
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
     parser.add_argument("--clip_weights", default="",
                         help="CLIP weights for the visual backbone")
     return parser

@@ -389,5 +389,7 @@ def main(args):
 
 
 if __name__ == "__main__":
-    parser = get_args_parser()
+    import argparse
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
     main(parser.parse_args())

@@ -189,4 +189,7 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(get_args_parser().parse_args())
+    import argparse
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    main(parser.parse_args())
