@@ -48,14 +48,15 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
     cfg, vt = bundle.cfg, bundle.vt
     delay = vt.max_feats if vt.features_dim else 0
 
-    def yes_prob(params, input_ids, attention_mask, video, video_mask):
+    def yes_prob(params, input_ids, attention_mask, video, video_mask,
+                 *, deterministic=True, rng=None):
         mc, B, L = input_ids.shape
         flat_ids = input_ids.reshape(mc * B, L)
         flat_am = attention_mask.reshape(mc * B, L)
         video_t = jnp.tile(video, (mc, 1, 1))
         vmask_t = jnp.tile(video_mask, (mc, 1))
         out = bundle.forward(params, cfg, vt, flat_ids, flat_am, video_t, vmask_t,
-                             mlm=False)
+                             mlm=False, deterministic=deterministic, rng=rng)
         if bundle.answer_logits is not None:
             hidden = out.last_hidden_state[:, delay: delay + L]
             pos = jnp.argmax((flat_ids == mask_token_id).astype(jnp.int32), axis=1)
@@ -67,9 +68,12 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
         return p_yes.reshape(mc, B).T  # (B, mc)
 
     def loss_fn(params, batch, rng):
-        del rng  # adapters' dropout handled by Trainer via forward rng later
+        # train under dropout like the reference (mc.py:35 model.train(),
+        # adapter dropout args.dropout=0.1): thread the step rng into the
+        # forward exactly as tasks/videoqa.py does
         probs = yes_prob(params, batch["input_ids"], batch["attention_mask"],
-                         batch["video"], batch["video_mask"])
+                         batch["video"], batch["video_mask"],
+                         deterministic=rng is None, rng=rng)
         return balanced_bce(probs, batch["answer_id"], n_cand), {}
 
     eval_step = jax.jit(yes_prob)
@@ -95,6 +99,9 @@ def _encode_candidates(tokenizer, texts, args):
     B = len(texts[0])
     flat = [t for cand in texts for t in cand]
     enc = encode_batch(tokenizer, flat, args.max_tokens)
+    from frozenbilm_tpu.tasks.videoqa import _check_one_mask
+
+    _check_one_mask(enc["input_ids"], tokenizer.mask_token_id)
     L = enc["input_ids"].shape[1]
     return (enc["input_ids"].reshape(mc, B, L),
             enc["attention_mask"].reshape(mc, B, L))

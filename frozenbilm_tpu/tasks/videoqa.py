@@ -115,10 +115,29 @@ def _buckets(args):
     return [int(x) for x in raw.split(",") if x.strip()] if raw else None
 
 
+def _check_one_mask(input_ids, mask_token_id) -> None:
+    """Every prompt must keep exactly one [MASK] after truncation.
+
+    The scoring path locates the mask by argmax, which would silently score
+    position 0 if truncation at max_tokens dropped it; the reference's
+    boolean indexing (videoqa.py:166) fails loudly instead — so do we.
+    """
+    if mask_token_id is None:
+        return
+    counts = (np.asarray(input_ids) == mask_token_id).sum(axis=1)
+    if not (counts == 1).all():
+        bad = int(np.flatnonzero(counts != 1)[0])
+        raise ValueError(
+            f"prompt row {bad} has {int(counts[bad])} [MASK] tokens after "
+            f"encoding (expected exactly 1); raise --max_tokens or shorten "
+            f"the prompt/subtitles")
+
+
 def _encode(tokenizer, texts, args):
     batch = encode_batch(tokenizer, texts, args.max_tokens, buckets=_buckets(args))
     if not args.suffix and not args.use_context:
         batch = strip_sep_tokens(batch, tokenizer.sep_token_id, tokenizer.pad_token_id)
+    _check_one_mask(batch["input_ids"], tokenizer.mask_token_id)
     return batch
 
 

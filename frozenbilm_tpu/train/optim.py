@@ -17,19 +17,26 @@ def make_schedule(
     schedule: str = "",
     fraction_warmup_steps: float = 0.1,
 ):
-    """LR schedule matching reference util/misc.py:59-78."""
+    """LR schedule matching reference util/misc.py:59-78.
+
+    Ordering parity: the reference calls adjust_learning_rate AFTER
+    optimizer.step (main.py:84-88), so update k runs at gamma(k-1) and the
+    very first update runs at the full base lr. optax evaluates the schedule
+    at the update's own count, so we shift by one: gamma(-1) := 1.
+    """
     if schedule == "linear_with_warmup":
         warmup = round(fraction_warmup_steps * num_training_steps)
 
         def fn(step):
             import jax.numpy as jnp
 
-            step = jnp.asarray(step, jnp.float32)
+            step = jnp.asarray(step, jnp.float32) - 1.0  # post-step adjust parity
             w = jnp.maximum(1, warmup)
             gamma_warm = step / w
             denom = jnp.maximum(1, num_training_steps - warmup)
             gamma_decay = jnp.maximum(0.0, (num_training_steps - step) / denom)
-            return base_lr * jnp.where(step < warmup, gamma_warm, gamma_decay)
+            gamma = jnp.where(step < warmup, gamma_warm, gamma_decay)
+            return base_lr * jnp.where(step < 0, 1.0, gamma)
 
         return fn
     return lambda step: base_lr

@@ -361,5 +361,8 @@ def load_pth_state_dict(path: str) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
         obj = obj["model"]
-    sd = {k.replace("module.", ""): v for k, v in obj.items() if hasattr(v, "detach")}
+    # strip the DDP prefix only at the start of the key (a path legitimately
+    # containing '.module.' must survive intact)
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in obj.items() if hasattr(v, "detach")}
     return torch_state_dict_to_numpy(sd)

@@ -86,3 +86,19 @@ def test_all_checkpoint_formats_agree(torch_ref, tmp_path):
     save_params(str(native), direct, {"epoch": 3})
     from_native = load_any_checkpoint(str(native), template, CFG, "deberta")
     _trees_equal(direct, from_native)
+
+
+def test_pth_ddp_prefix_stripped_only_at_start(tmp_path):
+    """'module.' is a DDP wrapper prefix, not a substring to erase: a key
+    containing '.module.' mid-path must survive the .pth import intact."""
+    import torch
+
+    from frozenbilm_tpu.utils.hf_import import load_pth_state_dict
+
+    sd = {
+        "module.linear_video.weight": torch.zeros(2, 2),
+        "encoder.module.weird.weight": torch.ones(3),
+    }
+    torch.save({"model": sd}, tmp_path / "ckpt.pth")
+    out = load_pth_state_dict(str(tmp_path / "ckpt.pth"))
+    assert set(out) == {"linear_video.weight", "encoder.module.weird.weight"}

@@ -134,3 +134,43 @@ def test_pretrain_train_and_eval(env, tmp_path):
     assert "val_loss" in log[0]
     assert os.path.isdir(save / "checkpoint0000")
     assert os.path.exists(save / "log.txt")
+
+
+def test_mc_train_uses_dropout(env):
+    """MC fine-tuning must train under dropout like the reference (mc.py:35
+    model.train()): the loss_fn threads the step rng into the forward, so
+    different rngs give different losses and rng=None is deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.models import build_model
+    from frozenbilm_tpu.tasks.mc import make_mc_steps
+
+    root, model_dir, data, _, _ = env
+    args = get_args_parser().parse_args(_common(model_dir) + [
+        "--combine_datasets", "how2qa", "--combine_datasets_val", "how2qa",
+    ])
+    args.n_ans = 2
+    bundle = build_model(args)
+    params = bundle.init_params(jax.random.PRNGKey(0))
+
+    mc, B, L, F = 2, 2, 10, 5
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 20, size=(mc, B, L))
+    ids[:, :, 4] = 4  # one [MASK] per row (vocab id 4 in the fixture)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((mc, B, L), jnp.int32),
+        "video": jnp.asarray(rng.normal(size=(B, F, 16)), jnp.float32),
+        "video_mask": jnp.ones((B, F), jnp.int32),
+        "answer_id": jnp.asarray([0, 1]),
+    }
+    loss_fn, _ = make_mc_steps(bundle, mask_token_id=4, n_cand=4)
+    l1 = float(loss_fn(params, batch, jax.random.PRNGKey(1))[0])
+    l2 = float(loss_fn(params, batch, jax.random.PRNGKey(2))[0])
+    d1 = float(loss_fn(params, batch, None)[0])
+    d2 = float(loss_fn(params, batch, None)[0])
+    assert l1 != l2, "dropout rng not threaded into the MC forward"
+    assert d1 == d2, "deterministic path must be rng-free"
+    assert np.isfinite([l1, l2, d1]).all()

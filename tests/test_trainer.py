@@ -145,7 +145,12 @@ def test_lr_schedule_matches_reference():
 
     opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=Args.lr)
     sched = make_schedule(Args.lr, 100, "linear_with_warmup", 0.1)
+    # The reference adjusts lr AFTER optimizer.step (main.py:84-88): update k
+    # runs at the lr set by adjust(k-1), and update 0 at the constructor lr.
+    # Our optax schedule receives the update's own count, so sched(k) must
+    # reproduce the lr the reference's k-th update actually used.
+    np.testing.assert_allclose(float(sched(0)), Args.lr, rtol=1e-6)
     for step in [0, 3, 9, 10, 11, 50, 99, 100]:
         misc.adjust_learning_rate(opt, step, 100, Args)
-        ref_lr = opt.param_groups[0]["lr"]
-        np.testing.assert_allclose(float(sched(step)), ref_lr, rtol=1e-6)
+        ref_lr_after = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(sched(step + 1)), ref_lr_after, rtol=1e-6)

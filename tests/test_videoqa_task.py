@@ -108,3 +108,18 @@ def test_finetune_one_epoch(task_env, tmp_path):
         keys = list(z.files)
     assert all("word_embeddings" not in k for k in keys)
     assert any("linear_video" in k for k in keys)
+
+
+def test_encode_rejects_prompts_without_mask():
+    """Truncation that drops the [MASK] must fail loudly (the reference's
+    boolean indexing crashes on a shape mismatch, videoqa.py:166; the argmax
+    locator would otherwise silently score position 0)."""
+    import pytest
+
+    from frozenbilm_tpu.tasks.videoqa import _check_one_mask
+
+    ids = np.array([[5, 6, 4, 7], [5, 6, 7, 8]])  # row 1 lost its mask (id 4)
+    with pytest.raises(ValueError, match="row 1 has 0"):
+        _check_one_mask(ids, mask_token_id=4)
+    _check_one_mask(ids[:1], mask_token_id=4)  # one mask -> ok
+    _check_one_mask(ids, mask_token_id=None)  # AR tokenizers have no mask
