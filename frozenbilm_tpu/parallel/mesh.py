@@ -15,6 +15,7 @@ Reference semantics -> TPU mapping (SURVEY.md §2.5, §5.8):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -24,6 +25,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def init_distributed(verbose: bool = True) -> bool:
+    """Multi-host process-group init (reference util/dist.py:201-238).
+
+    Rendezvous detection, in order:
+      1. already initialized (process_count > 1) -> no-op
+      2. torchrun-style env://  (MASTER_ADDR [+ MASTER_PORT] + RANK +
+         WORLD_SIZE, reference dist.py:203-206)
+      3. SLURM (SLURM_PROCID etc., dist.py:207-217) and any other cluster
+         jax auto-detects -> jax.distributed.initialize() with no args
+      4. none of the above -> single-process, returns False
+         ("Not using distributed mode", dist.py:218-221)
+
+    On success every host passes a global barrier (dist.py:237).
+
+    NOTE: must run before anything initializes the XLA backend (jax.devices,
+    device_put, ...), so the already-initialized check avoids backend calls.
+    """
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    env = os.environ
+    if "RANK" in env and "WORLD_SIZE" in env and "MASTER_ADDR" in env:
+        if int(env["WORLD_SIZE"]) <= 1:
+            return False
+        jax.distributed.initialize(
+            coordinator_address=f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '29500')}",
+            num_processes=int(env["WORLD_SIZE"]),
+            process_id=int(env["RANK"]),
+        )
+    elif "SLURM_PROCID" in env and int(env.get("SLURM_NTASKS", "1")) > 1:
+        jax.distributed.initialize()  # jax's SLURM cluster auto-detection
+    else:
+        if verbose:
+            print("Not using distributed mode")
+        return False
+    if verbose and is_main_process():
+        print(f"| distributed init: {jax.process_count()} processes, "
+              f"{jax.device_count()} devices")
+    sync_global_devices("init_distributed")
+    return jax.process_count() > 1
+
+
+def loader_shard_kwargs() -> Dict[str, int]:
+    """DataLoader sharding kwargs — the DistributedSampler analogue
+    (reference main.py:193-200): each host reads its 1/Nth of the index
+    stream."""
+    return {"num_shards": jax.process_count(), "shard_index": jax.process_index()}
 
 
 @dataclass(frozen=True)
@@ -55,14 +104,67 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (pytree of arrays) batch-sharded on the mesh."""
+    """Place a host batch (pytree of arrays) batch-sharded on the mesh.
+
+    Single-host: a plain device_put. Multi-host: each host's local batch is
+    this host's shard of the global batch (the loader already read disjoint
+    1/Nth index streams, loader_shard_kwargs), so build global arrays via
+    host_local_array_to_global_array — device_put alone cannot create
+    arrays spanning non-addressable devices.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P(DATA_AXIS)),
+            batch)
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the whole mesh. Multi-host requires every
+    host to hold identical values (same seed init / same checkpoint)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()),
+            tree)
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def fetch_local_rows(mesh: Optional[Mesh], x) -> np.ndarray:
+    """Batch-sharded device output -> this host's local numpy rows.
+
+    Single-process: np.asarray of the (fully addressable) array. Multi-host:
+    resharded back to the host-local layout, returning exactly the rows this
+    host contributed via shard_batch.
+    """
+    if jax.process_count() == 1 or mesh is None:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.global_array_to_host_local_array(
+        x, mesh, P(DATA_AXIS)))
+
+
+def reduce_metrics(d: Dict[str, float]) -> Dict[str, float]:
+    """Average a dict of python scalars across processes — the reference's
+    per-step reduce_dict for logged losses (util/dist.py:89-113).
+    Single-process: identity."""
+    if jax.process_count() == 1 or not d:
+        return dict(d)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(d)
+    vals = np.asarray([float(d[k]) for k in keys], np.float64)
+    total = np.asarray(multihost_utils.process_allgather(vals)).reshape(
+        jax.process_count(), len(keys)).sum(0)
+    return {k: float(v) / jax.process_count() for k, v in zip(keys, total)}
 
 
 def is_main_process() -> bool:

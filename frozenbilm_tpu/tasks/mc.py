@@ -11,7 +11,9 @@ Mirrors reference mc.py (train :25, evaluate :125, main :234):
 TPU-first: the reference runs one full forward per candidate (mc x per
 batch); we fold the candidate loop into ONE batched forward of shape
 (B*mc, L) — video tiled per candidate — so the MXU sees a single large
-matmul stream and XLA compiles one program.
+matmul stream and XLA compiles one program. Batches are batch-major
+(B, mc, L) so the leading axis shards over the mesh 'data' axis like every
+other driver (multi-device and multi-host).
 """
 
 from __future__ import annotations
@@ -31,7 +33,17 @@ from frozenbilm_tpu.data.mc import build_mc_dataset, mc_collate
 from frozenbilm_tpu.data.tokenization import answers_to_token_ids, encode_batch, get_tokenizer
 from frozenbilm_tpu.models import ModelBundle, build_model
 from frozenbilm_tpu.ops.masking import get_mask
-from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    MeshSpec,
+    fetch_local_rows,
+    host_gather_results,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from frozenbilm_tpu.tasks.videoqa import mask_logits
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import merge_params
@@ -43,18 +55,19 @@ MC_TYPE_MAPS = {"how2qa": None, "tvqa": None}
 
 
 def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
-    """Jitted candidate-batched steps. Inputs are candidate-major:
-    input_ids (mc, B, L) flattened to (mc*B, L); video tiled per candidate."""
+    """Jitted candidate-batched steps. Inputs are batch-major:
+    input_ids (B, mc, L) flattened to (B*mc, L); video repeated per
+    candidate. The leading B axis is the mesh 'data' sharding axis."""
     cfg, vt = bundle.cfg, bundle.vt
     delay = vt.max_feats if vt.features_dim else 0
 
     def yes_prob(params, input_ids, attention_mask, video, video_mask,
                  *, deterministic=True, rng=None):
-        mc, B, L = input_ids.shape
-        flat_ids = input_ids.reshape(mc * B, L)
-        flat_am = attention_mask.reshape(mc * B, L)
-        video_t = jnp.tile(video, (mc, 1, 1))
-        vmask_t = jnp.tile(video_mask, (mc, 1))
+        B, mc, L = input_ids.shape
+        flat_ids = input_ids.reshape(B * mc, L)
+        flat_am = attention_mask.reshape(B * mc, L)
+        video_t = jnp.repeat(video, mc, axis=0)
+        vmask_t = jnp.repeat(video_mask, mc, axis=0)
         out = bundle.forward(params, cfg, vt, flat_ids, flat_am, video_t, vmask_t,
                              mlm=False, deterministic=deterministic, rng=rng)
         if bundle.answer_logits is not None:
@@ -65,7 +78,7 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
         else:
             logits = mask_logits(out.logits, flat_ids, mask_token_id, delay)
         p_yes = jax.nn.softmax(logits, axis=-1)[:, 0]
-        return p_yes.reshape(mc, B).T  # (B, mc)
+        return p_yes.reshape(B, mc)
 
     def loss_fn(params, batch, rng):
         # train under dropout like the reference (mc.py:35 model.train(),
@@ -94,7 +107,9 @@ def balanced_bce(probs: jax.Array, gt: jax.Array, n_cand: int) -> jax.Array:
 
 
 def _encode_candidates(tokenizer, texts, args):
-    """texts: candidate-major list (mc) of lists (B). One tokenizer pass."""
+    """texts: candidate-major list (mc) of lists (B) as collated
+    (mc_collate transposes like the reference, mc_dataset.py:142-144).
+    One tokenizer pass; returns batch-major (B, mc, L) arrays."""
     mc = len(texts)
     B = len(texts[0])
     flat = [t for cand in texts for t in cand]
@@ -103,8 +118,8 @@ def _encode_candidates(tokenizer, texts, args):
 
     _check_one_mask(enc["input_ids"], tokenizer.mask_token_id)
     L = enc["input_ids"].shape[1]
-    return (enc["input_ids"].reshape(mc, B, L),
-            enc["attention_mask"].reshape(mc, B, L))
+    return (enc["input_ids"].reshape(mc, B, L).swapaxes(0, 1),
+            enc["attention_mask"].reshape(mc, B, L).swapaxes(0, 1))
 
 
 def _device_batch(batch_dict, tokenizer, args):
@@ -120,14 +135,24 @@ def _device_batch(batch_dict, tokenizer, args):
 
 
 def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
-             split="test", type_map=None):
+             split="test", type_map=None, mesh=None):
     _, eval_step = make_mc_steps(bundle, tokenizer.mask_token_id, data_loader.dataset.mc)
+    if mesh is not None:
+        params = replicate(mesh, params)
     metric_logger = MetricLogger()
     res: Dict = {}
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
         db = _device_batch(batch_dict, tokenizer, args)
-        probs = np.asarray(eval_step(params, db["input_ids"], db["attention_mask"],
-                                     db["video"], db["video_mask"]))
+        n_real = db["input_ids"].shape[0]
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            pad = (-n_real) % n_data
+            if pad:
+                db = {k: jnp.concatenate([v] + [v[-1:]] * pad) for k, v in db.items()}
+            db = shard_batch(mesh, db)
+        probs = fetch_local_rows(mesh, eval_step(
+            params, db["input_ids"], db["attention_mask"],
+            db["video"], db["video_mask"]))[:n_real]
         preds = (np.round(probs[:, 0]).astype(int) if probs.shape[1] == 1
                  else probs.argmax(1))
         hidden = int(batch_dict["answer_id"][0]) == -1
@@ -159,6 +184,8 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
                                               f"Epoch: [{epoch}]"):
         db = _device_batch(batch_dict, tokenizer, args)
         db["answer_id"] = jnp.asarray(np.asarray(batch_dict["answer_id"]))
+        if trainer.mesh is not None:
+            db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
@@ -171,6 +198,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
 
 
 def main(args):
+    init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
@@ -180,16 +208,20 @@ def main(args):
     for dset_name in args.combine_datasets_val:
         split_test = "val" if (args.eval and not args.test) else "test"
         ds_test = build_mc_dataset(dset_name, split_test, args, tokenizer.mask_token)
-        loader_test = DataLoader(ds_test, args.batch_size_val, collate_fn=mc_collate)
+        loader_test = DataLoader(ds_test, args.batch_size_val, collate_fn=mc_collate,
+                                 **loader_shard_kwargs())
         ds_val = build_mc_dataset(dset_name, "val", args, tokenizer.mask_token,
                                   features=ds_test.features)
-        loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=mc_collate)
+        loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=mc_collate,
+                                **loader_shard_kwargs())
         loader_train = None
         if not args.eval:
             ds_train = build_mc_dataset(dset_name, "train", args, tokenizer.mask_token,
                                         features=ds_test.features)
             loader_train = DataLoader(ds_train, args.batch_size, collate_fn=mc_collate,
-                                      shuffle=True, seed=args.seed)
+                                      shuffle=True, seed=args.seed,
+                                      drop_last=len(ds_train) > args.batch_size,
+                                      **loader_shard_kwargs())
         tuples.append(nt(dset_name, loader_test, loader_val, loader_train))
 
     args.n_ans = 2  # {Yes, No} (mc.py:252)
@@ -214,6 +246,11 @@ def main(args):
     a2tok = answers_to_token_ids(tokenizer, ["Yes", "No"], args.max_atokens)
     params = bundle.set_answer_embeddings(params, a2tok)
 
+    mesh = None
+    if jax.device_count() > 1:
+        n_data = jax.device_count() // max(1, args.mesh_model)
+        mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
+
     log_stats = []
     for item in tuples:
         if not args.eval:
@@ -226,8 +263,16 @@ def main(args):
             )
             loss_fn, _ = make_mc_steps(bundle, tokenizer.mask_token_id,
                                        item.loader_train.dataset.mc)
-            trainer = Trainer(loss_fn, tx)
-            state, frozen = create_train_state(params, bundle.vt, tx)
+            n_proc = jax.process_count()
+            train_mesh = mesh if (mesh is not None and
+                                  args.batch_size % max(
+                                      1, mesh.shape["data"] // n_proc) == 0) else None
+            if n_proc > 1 and train_mesh is None:
+                raise ValueError(
+                    "multi-host training requires a mesh-divisible per-host "
+                    f"batch size (got {args.batch_size})")
+            trainer = Trainer(loss_fn, tx, mesh=train_mesh)
+            state, frozen = create_train_state(params, bundle.vt, tx, mesh=train_mesh)
             best_acc = 0.0
             for epoch in range(args.start_epoch, args.epochs):
                 item.loader_train.set_epoch(epoch)
@@ -236,7 +281,8 @@ def main(args):
                 if (epoch + 1) % args.eval_skip == 0:
                     cur = merge_params(state.trainable, frozen)
                     _, acc = evaluate(cur, bundle, tokenizer, item.loader_val,
-                                      item.dataset_name, args, split="val")
+                                      item.dataset_name, args, split="val",
+                                      mesh=mesh)
                     log_stats.append({"epoch": epoch, "val_acc": acc})
                     if args.save_dir and acc > best_acc:
                         best_acc = acc
@@ -254,7 +300,8 @@ def main(args):
 
         results, acc = evaluate(params, bundle, tokenizer, item.loader_test,
                                 item.dataset_name, args,
-                                split="val" if (args.eval and not args.test) else "test")
+                                split="val" if (args.eval and not args.test) else "test",
+                                mesh=mesh)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, f"{item.dataset_name}.json"), "w") as f:
                 json.dump(results, f)

@@ -21,7 +21,12 @@ from frozenbilm_tpu.config import CLIPTextConfig, get_args_parser
 from frozenbilm_tpu.data.loader import DataLoader
 from frozenbilm_tpu.data.mc import build_mc_dataset, mc_collate
 from frozenbilm_tpu.models.clip import clip_encode_text
-from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    host_gather_results,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+)
 from frozenbilm_tpu.tasks.videoqa_clip import (
     clip_tokenize,
     get_clip_tokenizer,
@@ -69,6 +74,7 @@ def evaluate(text_params, text_cfg, tokenizer, data_loader, dataset_name, args,
 
 
 def main(args):
+    init_distributed()
     assert args.max_feats == 1, "CLIP baseline uses one frame"
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -84,7 +90,8 @@ def main(args):
         # the mc prompt for CLIP carries no [MASK]; pass an empty mask token
         ds = build_mc_dataset(dset_name, split, args, mask_token="")
         tuples.append(nt(dset_name, DataLoader(ds, args.batch_size_val,
-                                               collate_fn=mc_collate), ds))
+                                               collate_fn=mc_collate,
+                                               **loader_shard_kwargs()), ds))
 
     log = []
     for item in tuples:

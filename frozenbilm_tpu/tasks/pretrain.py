@@ -28,7 +28,14 @@ from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
 from frozenbilm_tpu.data.videotext import build_videotext_dataset, videotext_collate
 from frozenbilm_tpu.models import build_model
 from frozenbilm_tpu.ops.masking import get_mask
-from frozenbilm_tpu.parallel.mesh import MeshSpec, is_main_process, make_mesh, shard_batch
+from frozenbilm_tpu.parallel.mesh import (
+    MeshSpec,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+    make_mesh,
+    shard_batch,
+)
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params, merge_params
 from frozenbilm_tpu.train.trainer import Trainer, create_train_state, make_mlm_loss_fn
@@ -88,6 +95,7 @@ def evaluate(state, frozen, trainer, tokenizer, data_loader, args, mesh):
 
 
 def main(args):
+    init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
@@ -97,11 +105,13 @@ def main(args):
         ds_train = build_videotext_dataset("train", args)
     ds_val = build_videotext_dataset(
         "val", args, features=ds_train.features if ds_train else None)
-    loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videotext_collate)
+    loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videotext_collate,
+                            **loader_shard_kwargs())
     loader_train = None
     if ds_train:
         loader_train = DataLoader(ds_train, args.batch_size, collate_fn=videotext_collate,
-                                  shuffle=True, seed=args.seed, drop_last=True)
+                                  shuffle=True, seed=args.seed, drop_last=True,
+                                  **loader_shard_kwargs())
 
     bundle = build_model(args)
     params = bundle.init_params(jax.random.PRNGKey(args.seed))
@@ -124,8 +134,21 @@ def main(args):
     if jax.device_count() > 1:
         n_data = (args.mesh_data if args.mesh_data > 0
                   else jax.device_count() // max(1, args.mesh_model))
-        if args.batch_size % n_data == 0 and args.batch_size_val % n_data == 0:
+        # batch sizes are per-host; global batch = batch_size * process_count
+        n_proc = jax.process_count()
+        divisible = ((args.batch_size * n_proc) % n_data == 0
+                     and (args.batch_size_val * n_proc) % n_data == 0
+                     and args.batch_size % max(1, n_data // n_proc) == 0
+                     and args.batch_size_val % max(1, n_data // n_proc) == 0)
+        if divisible:
             mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
+        elif n_proc > 1:
+            # unsynced per-host replicas would silently diverge (the
+            # reference bug we fixed, SURVEY.md §2.5) — refuse instead
+            raise ValueError(
+                f"multi-host training requires per-host batch sizes divisible "
+                f"by {max(1, n_data // n_proc)} (data axis {n_data} over "
+                f"{n_proc} hosts)")
         elif is_main_process():
             print(f"batch sizes not divisible by data axis {n_data}; "
                   "running unsharded on device 0")
@@ -146,7 +169,7 @@ def main(args):
         remat=args.remat,
     )
     trainer = Trainer(loss_fn, tx, mesh=mesh)
-    state, frozen = create_train_state(params, bundle.vt, tx)
+    state, frozen = create_train_state(params, bundle.vt, tx, mesh=mesh)
     if args.resume and args.load and os.path.isdir(args.load) and \
             os.path.exists(os.path.join(args.load, "opt_state.npz")):
         # restore optimizer state + start epoch (reference main.py:241-243)
@@ -155,7 +178,13 @@ def main(args):
         from frozenbilm_tpu.utils.checkpoint import load_opt_state
 
         opt_state = load_opt_state(args.load, state.opt_state)
-        state = state._replace(opt_state=jax.tree.map(jnp.asarray, opt_state))
+        if mesh is not None:
+            from frozenbilm_tpu.parallel.mesh import replicate
+
+            opt_state = replicate(mesh, opt_state)
+        else:
+            opt_state = jax.tree.map(jnp.asarray, opt_state)
+        state = state._replace(opt_state=opt_state)
         with open(os.path.join(args.load, "meta.json")) as f:
             args.start_epoch = int(_json.load(f).get("epoch", -1)) + 1
         if is_main_process():

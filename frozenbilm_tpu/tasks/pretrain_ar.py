@@ -22,7 +22,14 @@ from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
 from frozenbilm_tpu.data.videotext import build_videotext_dataset, videotext_collate
 from frozenbilm_tpu.models import build_model
 from frozenbilm_tpu.ops.masking import get_mask
-from frozenbilm_tpu.parallel.mesh import is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    MeshSpec,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+    make_mesh,
+    shard_batch,
+)
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params
 from frozenbilm_tpu.train.trainer import Trainer, create_train_state
@@ -44,19 +51,21 @@ def make_ar_loss_fn(bundle, bundle_remat: bool = False):
     return loss_fn
 
 
-def _device_batch(batch_dict, tokenizer, args):
+def _device_batch(batch_dict, tokenizer, args, mesh=None):
     enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens)
     video = jnp.asarray(np.asarray(batch_dict["video"], np.float32))
     video_mask = jnp.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
-    return {
+    db = {
         "input_ids": jnp.asarray(enc["input_ids"]),
         "attention_mask": jnp.asarray(enc["attention_mask"]),
         "video": video,
         "video_mask": video_mask,
     }
+    return shard_batch(mesh, db) if mesh is not None else db
 
 
 def main(args):
+    init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
@@ -64,11 +73,13 @@ def main(args):
     ds_train = None if args.eval else build_videotext_dataset("train", args)
     ds_val = build_videotext_dataset("val", args,
                                      features=ds_train.features if ds_train else None)
-    loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videotext_collate)
+    loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videotext_collate,
+                            **loader_shard_kwargs())
     loader_train = None
     if ds_train:
         loader_train = DataLoader(ds_train, args.batch_size, collate_fn=videotext_collate,
-                                  shuffle=True, seed=args.seed, drop_last=True)
+                                  shuffle=True, seed=args.seed, drop_last=True,
+                                  **loader_shard_kwargs())
 
     bundle = build_model(args)
     params = bundle.init_params(jax.random.PRNGKey(args.seed))
@@ -87,6 +98,21 @@ def main(args):
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
 
+    mesh = None
+    if jax.device_count() > 1:
+        n_data = jax.device_count() // max(1, args.mesh_model)
+        n_proc = jax.process_count()
+        per_host = max(1, n_data // n_proc)
+        if args.batch_size % per_host == 0 and args.batch_size_val % per_host == 0:
+            mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
+        elif n_proc > 1:
+            raise ValueError(
+                f"multi-host training requires per-host batch sizes divisible "
+                f"by {per_host}")
+        elif is_main_process():
+            print(f"batch sizes not divisible by data axis {n_data}; "
+                  "running unsharded on device 0")
+
     steps_per_epoch = len(loader_train) if loader_train else 1
     tx = make_optimizer(
         make_schedule(args.lr, steps_per_epoch * args.epochs, args.schedule,
@@ -94,15 +120,16 @@ def main(args):
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
     )
-    trainer = Trainer(make_ar_loss_fn(bundle, bundle_remat=args.remat), tx)
-    state, frozen = create_train_state(params, bundle.vt, tx)
+    trainer = Trainer(make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, mesh=mesh)
+    state, frozen = create_train_state(params, bundle.vt, tx, mesh=mesh)
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))
 
     def run_eval():
         ml = MetricLogger()
         for batch_dict in ml.log_every(loader_val, args.print_freq, "val:"):
-            metrics = trainer.eval_step(state, frozen, _device_batch(batch_dict, tokenizer, args))
+            metrics = trainer.eval_step(
+                state, frozen, _device_batch(batch_dict, tokenizer, args, mesh))
             ml.update(loss=float(metrics["loss"]))
         ml.synchronize_between_processes()
         return {k: m.global_avg for k, m in ml.meters.items()}
@@ -118,7 +145,7 @@ def main(args):
         loader_train.set_epoch(epoch)
         ml = MetricLogger()
         for batch_dict in ml.log_every(loader_train, args.print_freq, f"Epoch: [{epoch}]"):
-            db = _device_batch(batch_dict, tokenizer, args)
+            db = _device_batch(batch_dict, tokenizer, args, mesh)
             state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
             loss = float(metrics["loss"])
             if not np.isfinite(loss):

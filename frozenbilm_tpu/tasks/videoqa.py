@@ -39,7 +39,12 @@ from frozenbilm_tpu.data.tokenization import (
 from frozenbilm_tpu.data.videoqa import build_videoqa_dataset, videoqa_collate
 from frozenbilm_tpu.models import ModelBundle, build_model
 from frozenbilm_tpu.ops.masking import get_mask
-from frozenbilm_tpu.parallel.mesh import is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    fetch_local_rows,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+)
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params, merge_params, partition_params
 from frozenbilm_tpu.train.trainer import Trainer, TrainState, create_train_state
@@ -183,7 +188,7 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
             db = shard_batch(mesh, db)
         top_ids, _ = eval_step(params, db["input_ids"], db["attention_mask"],
                                db["video"], db["video_mask"])
-        top_ids = np.asarray(top_ids)[:n_real]
+        top_ids = fetch_local_rows(mesh, top_ids)[:n_real]
 
         answer_id = batch_dict["answer_id"]
         if soft:
@@ -260,6 +265,7 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
 
 
 def main(args):
+    init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         print(args)
@@ -272,10 +278,12 @@ def main(args):
     for dset_name in args.combine_datasets_val:
         split_test = "val" if (args.eval and not args.test) else "test"
         ds_test = build_videoqa_dataset(dset_name, split_test, args, tokenizer.mask_token)
-        loader_test = DataLoader(ds_test, args.batch_size_val, collate_fn=videoqa_collate)
+        loader_test = DataLoader(ds_test, args.batch_size_val, collate_fn=videoqa_collate,
+                                 **loader_shard_kwargs())
         ds_val = build_videoqa_dataset(dset_name, "val", args, tokenizer.mask_token,
                                        features=ds_test.features)
-        loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videoqa_collate)
+        loader_val = DataLoader(ds_val, args.batch_size_val, collate_fn=videoqa_collate,
+                                **loader_shard_kwargs())
         loader_train = None
         if not args.eval:
             ds_train = build_videoqa_dataset(dset_name, "train", args, tokenizer.mask_token,
@@ -283,7 +291,8 @@ def main(args):
             # drop_last keeps every train batch mesh-divisible
             loader_train = DataLoader(ds_train, args.batch_size, collate_fn=videoqa_collate,
                                       shuffle=True, seed=args.seed,
-                                      drop_last=len(ds_train) > args.batch_size)
+                                      drop_last=len(ds_train) > args.batch_size,
+                                      **loader_shard_kwargs())
         tuples.append(nt(dset_name, loader_test, loader_val, loader_train, ds_test))
 
     args.n_ans = len(tuples[-1].dataset_test.a2id)
@@ -334,16 +343,28 @@ def main(args):
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
             )
             loss_fn, _ = make_qa_steps(bundle, tokenizer.mask_token_id, item.dataset_name)
+            n_proc = jax.process_count()
             train_mesh = mesh if (mesh is not None and
-                                  args.batch_size % mesh.shape["data"] == 0) else None
+                                  args.batch_size % max(
+                                      1, mesh.shape["data"] // n_proc) == 0) else None
+            if n_proc > 1 and train_mesh is None:
+                raise ValueError(
+                    "multi-host training requires a mesh-divisible per-host "
+                    f"batch size (got {args.batch_size})")
             trainer = Trainer(loss_fn, tx, mesh=train_mesh)
-            state, frozen = create_train_state(params, bundle.vt, tx)
+            state, frozen = create_train_state(params, bundle.vt, tx, mesh=train_mesh)
             if args.resume and args.load and os.path.isdir(args.load) and \
                     os.path.exists(os.path.join(args.load, "opt_state.npz")):
                 from frozenbilm_tpu.utils.checkpoint import load_opt_state
 
-                state = state._replace(opt_state=jax.tree.map(
-                    jnp.asarray, load_opt_state(args.load, state.opt_state)))
+                opt_state = load_opt_state(args.load, state.opt_state)
+                if train_mesh is not None:
+                    from frozenbilm_tpu.parallel.mesh import replicate as _rep
+
+                    opt_state = _rep(train_mesh, opt_state)
+                else:
+                    opt_state = jax.tree.map(jnp.asarray, opt_state)
+                state = state._replace(opt_state=opt_state)
                 meta_path = os.path.join(args.load, "meta.json")
                 if os.path.exists(meta_path):
                     args.start_epoch = int(json.load(open(meta_path)).get("epoch", -1)) + 1

@@ -30,7 +30,12 @@ from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
 from frozenbilm_tpu.data.videoqa_ar import build_videoqa_ar_dataset, videoqa_ar_collate
 from frozenbilm_tpu.models import build_model
 from frozenbilm_tpu.ops.masking import get_mask
-from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    host_gather_results,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+)
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
@@ -130,6 +135,7 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
 
 def main(args):
+    init_distributed()
     assert args.eval, "AR VideoQA is eval-only (videoqa_ar.py:194-195)"
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -140,7 +146,8 @@ def main(args):
     for dset_name in args.combine_datasets_val:
         split = "val" if (args.eval and not args.test) else "test"
         ds = build_videoqa_ar_dataset(dset_name, split, args)
-        loader = DataLoader(ds, args.batch_size_val, collate_fn=videoqa_ar_collate)
+        loader = DataLoader(ds, args.batch_size_val, collate_fn=videoqa_ar_collate,
+                            **loader_shard_kwargs())
         tuples.append(nt(dset_name, loader, ds))
 
     bundle = build_model(args)

@@ -24,7 +24,12 @@ from frozenbilm_tpu.config import CLIPTextConfig, get_args_parser
 from frozenbilm_tpu.data.loader import DataLoader
 from frozenbilm_tpu.data.videoqa_clip import build_videoqa_clip_dataset, videoqa_clip_collate
 from frozenbilm_tpu.models.clip import clip_encode_text, init_clip_text_params
-from frozenbilm_tpu.parallel.mesh import host_gather_results, is_main_process
+from frozenbilm_tpu.parallel.mesh import (
+    host_gather_results,
+    init_distributed,
+    is_main_process,
+    loader_shard_kwargs,
+)
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
 
@@ -119,6 +124,7 @@ def evaluate(text_params, text_cfg, tokenizer, data_loader, dataset_name, args,
 
 
 def main(args):
+    init_distributed()
     assert args.max_feats == 1, "CLIP baseline uses one frame (videoqa_clip.py:200)"
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -133,7 +139,8 @@ def main(args):
         split = "val" if (args.eval and not args.test) else "test"
         ds = build_videoqa_clip_dataset(dset_name, split, args)
         tuples.append(nt(dset_name, DataLoader(ds, args.batch_size_val,
-                                               collate_fn=videoqa_clip_collate), ds))
+                                               collate_fn=videoqa_clip_collate,
+                                               **loader_shard_kwargs()), ds))
 
     log = []
     for item in tuples:

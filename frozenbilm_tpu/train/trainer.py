@@ -36,10 +36,22 @@ class TrainState(NamedTuple):
 LossFn = Callable[[Dict, Dict, Optional[jax.Array]], Tuple[jax.Array, Dict]]
 
 
-def create_train_state(params, vt, tx) -> Tuple[TrainState, Dict]:
+def create_train_state(params, vt, tx, mesh: Optional[Mesh] = None) -> Tuple[TrainState, Dict]:
+    """Partition params and init optimizer state.
+
+    With a mesh, the state and frozen trees are replicated over it; under
+    multi-host this is required (host-local arrays cannot feed a jit whose
+    in_shardings span non-addressable devices) and assumes every host built
+    identical params (same seed / same checkpoint)."""
     trainable, frozen = partition_params(params, vt)
     opt_state = tx.init(trainable)
-    return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen
+    state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state)
+    if mesh is not None:
+        from frozenbilm_tpu.parallel.mesh import replicate
+
+        state = TrainState(*replicate(mesh, tuple(state)))
+        frozen = replicate(mesh, frozen)
+    return state, frozen
 
 
 class Trainer:
