@@ -28,6 +28,7 @@ class ModelBundle:
     set_answer_embeddings: Optional[Callable] = None  # (params, a2tok) -> params
     score: Optional[Callable] = None  # AR teacher-forced scoring
     answer_logits: Optional[Callable] = None  # (params, hidden) -> (.., n_ans)
+    greedy: Optional[Callable] = None  # AR KV-cache greedy decoding
 
 
 def family_of(model_name: str) -> str:
@@ -93,6 +94,7 @@ def build_model(args) -> ModelBundle:
                 init_params=lambda rng: m.init_gptneo_params(rng, cfg, vt),
                 forward=m.gptneo_forward,
                 score=m.gptneo_score,
+                greedy=m.gptneo_greedy_cached,
             )
         from frozenbilm_tpu.models import gptj as m
 
@@ -101,5 +103,6 @@ def build_model(args) -> ModelBundle:
             init_params=lambda rng: m.init_gptj_params(rng, cfg, vt),
             forward=m.gptj_forward,
             score=m.gptj_score,
+            greedy=m.gptj_greedy_cached,
         )
     raise NotImplementedError(family)

@@ -50,6 +50,9 @@ class GPTOutput(NamedTuple):
     logits: jax.Array
     loss: Optional[jax.Array]
     last_hidden_state: jax.Array
+    # (k, v) each (num_layers, B, num_heads, L, head_dim), post-rotary —
+    # only populated by forward(..., return_kv=True) for decode prefill
+    kv: Optional[tuple] = None
 
 
 def _rotary_sincos(seq_len: int, dim: int):
@@ -109,7 +112,8 @@ def init_gptj_params(key, cfg: GPTJConfig, vt: VideoTextConfig):
     return params
 
 
-def _attention(lp_attn, cfg: GPTJConfig, x, add_mask, sin, cos, *, deterministic, rngs):
+def _attention(lp_attn, cfg: GPTJConfig, x, add_mask, sin, cos, *, deterministic,
+               rngs, return_kv: bool = False):
     B, L, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     q = linear(lp_attn["q_proj"], x).reshape(B, L, nh, hd)
@@ -137,16 +141,26 @@ def _attention(lp_attn, cfg: GPTJConfig, x, add_mask, sin, cos, *, deterministic
                      preferred_element_type=jnp.float32).astype(v.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, nh * hd)
     out = linear(lp_attn["out_proj"], ctx)
-    return dropout(rngs.next(), out, cfg.resid_dropout, deterministic)
+    out = dropout(rngs.next(), out, cfg.resid_dropout, deterministic)
+    if return_kv:
+        return out, (k, v)
+    return out
 
 
-def _block(lp, cfg, x, add_mask, sin, cos, *, deterministic, rngs):
+def _block(lp, cfg, x, add_mask, sin, cos, *, deterministic, rngs,
+           return_kv: bool = False):
     h = layer_norm(lp["ln_1"], x, cfg.layer_norm_epsilon)
     attn_out = _attention(lp["attn"], cfg, h, add_mask, sin, cos,
-                          deterministic=deterministic, rngs=rngs)
+                          deterministic=deterministic, rngs=rngs,
+                          return_kv=return_kv)
+    if return_kv:
+        attn_out, kv = attn_out
     ff = linear(lp["mlp"]["fc_out"], ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], h)))
     ff = dropout(rngs.next(), ff, cfg.resid_dropout, deterministic)
-    return attn_out + ff + x  # parallel residual (gptj.py:326)
+    out = attn_out + ff + x  # parallel residual (gptj.py:326)
+    if return_kv:
+        return out, kv
+    return out
 
 
 def gptj_forward(
@@ -163,6 +177,7 @@ def gptj_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    return_kv: bool = False,
 ) -> GPTOutput:
     del mlm
     B, T = input_ids.shape
@@ -194,13 +209,17 @@ def gptj_forward(
         else:
             sub = None
         out = _block(lp, cfg, h, add_mask, sin, cos,
-                     deterministic=deterministic, rngs=RngStream(sub))
+                     deterministic=deterministic, rngs=RngStream(sub),
+                     return_kv=return_kv)
+        if return_kv:
+            out, kv = out
+            return (out, key), kv
         return (out, key), None
 
     if remat:
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    (x, _), _ = jax.lax.scan(step, (x, rngs.next()), params["layers"])
+    (x, _), kvs = jax.lax.scan(step, (x, rngs.next()), params["layers"])
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = linear(params["lm_head"], x).astype(jnp.float32)
 
@@ -211,7 +230,8 @@ def gptj_forward(
             labels = jnp.concatenate([video_labels, labels], axis=1)
         loss = cross_entropy_ignore_index(logits[:, :-1], labels[:, 1:])
 
-    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x)
+    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x,
+                     kv=kvs if return_kv else None)
 
 
 def _score_from_forward(forward_fn, params, cfg, vt, video, video_mask,
@@ -236,3 +256,106 @@ def gptj_score(params, cfg, vt, *, video, video_mask, input_ids, attention_mask,
     """P(target_l | prompt, target_<l) for every l (gptj.py:873-899)."""
     return _score_from_forward(gptj_forward, params, cfg, vt, video, video_mask,
                                input_ids, attention_mask, target_ids)
+
+
+def gptj_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_mask,
+                max_new_tokens: int, eos_token_id: Optional[int] = None):
+    """Full-forward greedy baseline: re-runs the whole sequence per emitted
+    token. Reference semantics = HF generate over GPTJForCausalLM
+    (gptj.py:737-767); kept as the parity oracle for the cached decoder."""
+    B = input_ids.shape[0]
+    ids, am = input_ids, attention_mask
+    for _ in range(max_new_tokens):
+        out = gptj_forward(params, cfg, vt, ids, am, video, video_mask)
+        nxt = jnp.argmax(out.logits[:, -1, :], axis=-1)
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+        am = jnp.concatenate([am, jnp.ones((B, 1), am.dtype)], axis=1)
+        if eos_token_id is not None and bool(jnp.all(nxt == eos_token_id)):
+            break
+    return ids
+
+
+def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
+                       attention_mask, max_new_tokens: int):
+    """KV-cache greedy decode: ONE prefill forward (video + prompt), then
+    max_new_tokens single-token steps inside a lax.scan over a preallocated
+    (num_layers, B, heads, Lmax, head_dim) cache.
+
+    TPU-native rebuild of the reference's incremental-decoding path
+    (prepare_inputs_for_generation drops the video once past_key_values
+    exists and feeds one token per step, gptj.py:737-767): static shapes,
+    no per-step python dispatch, cache updates via dynamic_update_slice.
+    Argmax-parity with gptj_greedy is tested on fixtures.
+    """
+    B, T = input_ids.shape
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + max_new_tokens
+    nh, hd = cfg.num_heads, cfg.head_dim
+    rd = cfg.rotary_dim or hd
+
+    out = gptj_forward(params, cfg, vt, input_ids, attention_mask, video,
+                       video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
+    k_cache = jnp.pad(out.kv[0], pad)
+    v_cache = jnp.pad(out.kv[1], pad)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.pad(full_am.astype(jnp.float32), [(0, 0), (0, max_new_tokens)])
+
+    sin_np, cos_np = _rotary_sincos(Lmax, rd)
+    sin_all, cos_all = jnp.asarray(sin_np), jnp.asarray(cos_np)
+    first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+
+    def decode_step(carry, _):
+        k_cache, v_cache, key_mask, tok, t = carry
+        # the consumed token becomes a valid key at position t
+        key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
+        x = params["wte"][tok]  # (B, H)
+        sin1 = jax.lax.dynamic_slice(sin_all, (t, 0), (1, rd))
+        cos1 = jax.lax.dynamic_slice(cos_all, (t, 0), (1, rd))
+
+        def layer(h, xs):
+            lp, kc, vc = xs
+            ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+            q = linear(lp["attn"]["q_proj"], ln).reshape(B, 1, nh, hd)
+            k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
+            v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
+            q = jnp.concatenate([apply_rotary(q[..., :rd], sin1, cos1), q[..., rd:]], -1)
+            k = jnp.concatenate([apply_rotary(k[..., :rd], sin1, cos1), k[..., rd:]], -1)
+            kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            # same masking order as the full forward: causal fill, THEN
+            # scale, THEN additive padding mask (gptj.py:180-184)
+            w = jnp.where(jnp.arange(Lmax)[None, None, :] <= t, w, NEG_BIAS)
+            w = w / math.sqrt(hd)
+            w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
+            attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
+            ff = linear(lp["mlp"]["fc_out"],
+                        ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
+            return attn_out + ff + h, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            layer, x, (params["layers"], k_cache, v_cache))
+        x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+        logits = linear(params["lm_head"], x).astype(jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (k_cache, v_cache, key_mask, nxt, t + 1), nxt
+
+    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32))
+    if max_new_tokens > 1:
+        _, rest = jax.lax.scan(decode_step, carry, None, length=max_new_tokens - 1)
+        tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        tokens = first[:, None]
+    return jnp.concatenate([input_ids, tokens], axis=1)

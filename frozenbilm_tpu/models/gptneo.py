@@ -13,9 +13,10 @@ Behavioral spec (reference model/gptneo.py):
     one forward over [prompt ‖ targets] (causal equivalence; see gptj.py)
 
 The reference also vendors a full HF generate/greedy_search with a
-synced-GPU loop (:850-1726); greedy generation here is a lax.scan-free
-argmax over the score path (generation is not used by any reference driver
-except demo top-k readout).
+synced-GPU loop (:850-1726); greedy generation here comes in two forms:
+gptneo_greedy (full re-forward per token, the parity oracle) and
+gptneo_greedy_cached (ONE prefill + KV-cache lax.scan decode — the
+TPU-native incremental path, argmax-parity tested against the former).
 """
 
 from __future__ import annotations
@@ -87,7 +88,8 @@ def _causal_masks(L: int, window: int):
     return causal, local
 
 
-def _attention(lp_attn, cfg, x, add_mask, allowed, *, deterministic, rngs):
+def _attention(lp_attn, cfg, x, add_mask, allowed, *, deterministic, rngs,
+               return_kv: bool = False):
     B, L, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     q = linear(lp_attn["q_proj"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
@@ -106,17 +108,28 @@ def _attention(lp_attn, cfg, x, add_mask, allowed, *, deterministic, rngs):
                      preferred_element_type=jnp.float32).astype(v.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, nh * hd)
     out = linear(lp_attn["out_proj"], ctx)
-    return dropout(rngs.next(), out, cfg.resid_dropout, deterministic)
+    out = dropout(rngs.next(), out, cfg.resid_dropout, deterministic)
+    if return_kv:
+        return out, (k, v)
+    return out
 
 
-def _block(lp, cfg, x, add_mask, allowed, *, deterministic, rngs):
+def _block(lp, cfg, x, add_mask, allowed, *, deterministic, rngs,
+           return_kv: bool = False):
     h = layer_norm(lp["ln_1"], x, cfg.layer_norm_epsilon)
-    x = x + _attention(lp["attn"], cfg, h, add_mask, allowed,
-                       deterministic=deterministic, rngs=rngs)
+    attn_out = _attention(lp["attn"], cfg, h, add_mask, allowed,
+                          deterministic=deterministic, rngs=rngs,
+                          return_kv=return_kv)
+    if return_kv:
+        attn_out, kv = attn_out
+    x = x + attn_out
     h2 = layer_norm(lp["ln_2"], x, cfg.layer_norm_epsilon)
     ff = linear(lp["mlp"]["c_proj"], ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
     ff = dropout(rngs.next(), ff, cfg.resid_dropout, deterministic)
-    return x + ff
+    out = x + ff
+    if return_kv:
+        return out, kv
+    return out
 
 
 def gptneo_forward(
@@ -134,6 +147,7 @@ def gptneo_forward(
     rng: Optional[jax.Array] = None,
     position_ids: Optional[jax.Array] = None,
     remat: bool = False,
+    return_kv: bool = False,
 ) -> GPTOutput:
     del mlm
     B, T = input_ids.shape
@@ -171,13 +185,17 @@ def gptneo_forward(
             sub = None
         allowed = jnp.where(local_flag, local, causal)
         out = _block(lp, cfg, h, add_mask, allowed,
-                     deterministic=deterministic, rngs=RngStream(sub))
+                     deterministic=deterministic, rngs=RngStream(sub),
+                     return_kv=return_kv)
+        if return_kv:
+            out, kv = out
+            return (out, key), kv
         return (out, key), None
 
     if remat:
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    (x, _), _ = jax.lax.scan(step, (x, rngs.next()), (params["layers"], is_local))
+    (x, _), kvs = jax.lax.scan(step, (x, rngs.next()), (params["layers"], is_local))
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = linear(params["lm_head"], x).astype(jnp.float32)
 
@@ -188,10 +206,12 @@ def gptneo_forward(
             labels = jnp.concatenate([video_labels, labels], axis=1)
         loss = cross_entropy_ignore_index(logits[:, :-1], labels[:, 1:])
 
-    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x)
+    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x,
+                     kv=kvs if return_kv else None)
 
 
-def _forward_with_genpos(params, cfg, vt, input_ids, attention_mask, video, video_mask):
+def _forward_with_genpos(params, cfg, vt, input_ids, attention_mask, video, video_mask,
+                         return_kv: bool = False):
     """Forward with generation-style positions: cumsum(mask)-1, pads -> 1
     (reference prepare_inputs_for_generation, gptneo.py / gptj.py:747-752).
     wpe consumes them, so AR scoring must match."""
@@ -205,7 +225,8 @@ def _forward_with_genpos(params, cfg, vt, input_ids, attention_mask, video, vide
     pos = jnp.cumsum(full_am, axis=1) - 1
     pos = jnp.where(full_am == 0, 1, pos)
     return gptneo_forward(params, cfg, vt, input_ids, attention_mask,
-                          video, video_mask, position_ids=pos)
+                          video, video_mask, position_ids=pos,
+                          return_kv=return_kv)
 
 
 def gptneo_score(params, cfg, vt, *, video, video_mask, input_ids, attention_mask,
@@ -231,3 +252,87 @@ def gptneo_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_ma
         if eos_token_id is not None and bool(jnp.all(next_tok == eos_token_id)):
             break
     return ids
+
+
+def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
+                         attention_mask, max_new_tokens: int):
+    """KV-cache greedy decode (TPU rebuild of the vendored greedy_search +
+    past_key_values path, gptneo.py:850-1726): ONE genpos prefill forward,
+    then max_new_tokens single-token steps in a lax.scan over a preallocated
+    cache. Argmax-parity with gptneo_greedy is tested on fixtures.
+
+    GPT-Neo specifics honored per step: learned wpe positions continue the
+    per-row cumsum(mask) sequence; attention stays UNSCALED fp32; local
+    layers see only the last window_size absolute positions
+    (gptneo.py:159-176).
+    """
+    B, T = input_ids.shape
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + max_new_tokens
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    out = _forward_with_genpos(params, cfg, vt, input_ids, attention_mask,
+                               video, video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
+    k_cache = jnp.pad(out.kv[0], pad)
+    v_cache = jnp.pad(out.kv[1], pad)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.pad(full_am.astype(jnp.float32), [(0, 0), (0, max_new_tokens)])
+    # per-row wpe position of the i-th generated token = n_valid + i
+    pos0 = jnp.sum(full_am, axis=1).astype(jnp.int32)  # (B,)
+
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+    first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+
+    def decode_step(carry, _):
+        k_cache, v_cache, key_mask, tok, t, pos = carry
+        key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
+        x = params["wte"][tok] + params["wpe"][pos]  # (B, H)
+        idx = jnp.arange(Lmax)
+        causal_row = idx <= t
+        local_row = causal_row & (idx > t - cfg.window_size)
+
+        def layer(h, xs):
+            lp, kc, vc, local_flag = xs
+            ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+            q = linear(lp["attn"]["q_proj"], ln).reshape(B, nh, hd)
+            k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
+            v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
+            kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            allowed = jnp.where(local_flag, local_row, causal_row)
+            w = jnp.where(allowed[None, None, :], w, NEG_BIAS)  # unscaled
+            w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
+            attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
+            h = h + attn_out
+            h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
+            ff = linear(lp["mlp"]["c_proj"],
+                        ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
+            return h + ff, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            layer, x, (params["layers"], k_cache, v_cache, is_local))
+        x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+        logits = linear(params["lm_head"], x).astype(jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (k_cache, v_cache, key_mask, nxt, t + 1, pos + 1), nxt
+
+    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32), pos0)
+    if max_new_tokens > 1:
+        _, rest = jax.lax.scan(decode_step, carry, None, length=max_new_tokens - 1)
+        tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        tokens = first[:, None]
+    return jnp.concatenate([input_ids, tokens], axis=1)

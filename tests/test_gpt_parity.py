@@ -155,3 +155,64 @@ def test_gpt_score_matches_stepwise_reference(family):
     np.testing.assert_allclose(ref_scores, ours, atol=3e-5, rtol=1e-3)
     # the product-of-probs ranking the AR driver uses (videoqa_ar.py:100-107)
     np.testing.assert_array_equal(ref_scores.prod(-1).argmax(), ours.prod(-1).argmax())
+
+
+@pytest.mark.parametrize("family", ["gptj", "gptneo"])
+def test_gpt_greedy_cached_matches_full_forward(family):
+    """KV-cache scan decode == full re-forward greedy, token for token.
+
+    The cached decoder is the TPU rebuild of the reference's
+    past_key_values incremental path (gptneo.py:715-745, gptj.py:737-767)."""
+    from frozenbilm_tpu.models.gptj import gptj_greedy, gptj_greedy_cached
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy, gptneo_greedy_cached
+
+    _, params, cfg = _gptj_pair() if family == "gptj" else _gptneo_pair()
+    base_fn, fast_fn = ((gptj_greedy, gptj_greedy_cached) if family == "gptj"
+                        else (gptneo_greedy, gptneo_greedy_cached))
+    ids, am, video, vm = _inputs(B=3, T=7)
+    kw = dict(video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+              input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am),
+              max_new_tokens=6)
+    base = np.asarray(base_fn(params, cfg, VT, **kw))
+    fast = np.asarray(jax.jit(
+        lambda p, **k: fast_fn(p, cfg, VT, max_new_tokens=6, **k))(
+        params, video=kw["video"], video_mask=kw["video_mask"],
+        input_ids=kw["input_ids"], attention_mask=kw["attention_mask"]))
+    assert fast.shape == (3, 7 + 6)
+    np.testing.assert_array_equal(base, fast)
+
+
+def test_gptneo_greedy_cached_matches_reference_vendored_generate():
+    """Argmax parity with the reference's own vendored greedy_search
+    (gptneo.py:850-1726), video dropped after prefill via its
+    prepare_inputs_for_generation KV-cache path."""
+    import torch
+
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached
+
+    ref, params, cfg = _gptneo_pair()
+    ids, am, video, vm = _inputs(B=3, T=7)
+    full_am = np.concatenate([vm, am], 1)
+
+    # 4.17-style stopping criterion: installed transformers' (>=4.50)
+    # StoppingCriteriaList returns a per-row tensor, but the vendored loop
+    # (gptneo.py:1700) expects a python bool
+    class _MaxLen:
+        def __call__(self, input_ids, scores, **kw):
+            return input_ids.shape[-1] >= 12
+
+    with torch.no_grad():
+        gen = ref.greedy_search(
+            torch.tensor(ids),
+            stopping_criteria=_MaxLen(),
+            pad_token_id=0,
+            attention_mask=torch.tensor(full_am).float(),
+            video=torch.tensor(video),
+            use_cache=True,
+        )
+    ours = np.asarray(gptneo_greedy_cached(
+        params, cfg, VT, video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am),
+        max_new_tokens=5))
+    # the reference returns [prompt ‖ generated]; so do we
+    np.testing.assert_array_equal(np.asarray(gen), ours)
