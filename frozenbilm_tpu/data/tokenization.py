@@ -118,3 +118,13 @@ def answers_to_token_ids(tokenizer, answers: List[str], max_atokens: int = 5) ->
         ids = tokenizer(str(ans), add_special_tokens=False)["input_ids"][:max_atokens]
         out[i, : len(ids)] = ids
     return out
+
+
+def parse_length_buckets(args) -> Optional[List[int]]:
+    """--length_buckets "32,64,128" -> [32, 64, 128] (None when unset).
+
+    Shared by every driver's encode path: batches pad to the smallest bucket
+    that fits instead of always max_tokens, trading a handful of XLA
+    compilations for less padded compute (SURVEY.md §7.1 'data/')."""
+    raw = getattr(args, "length_buckets", "")
+    return [int(x) for x in raw.split(",") if x.strip()] if raw else None

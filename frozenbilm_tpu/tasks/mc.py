@@ -30,7 +30,12 @@ import numpy as np
 from frozenbilm_tpu.config import get_args_parser
 from frozenbilm_tpu.data.loader import DataLoader
 from frozenbilm_tpu.data.mc import build_mc_dataset, mc_collate
-from frozenbilm_tpu.data.tokenization import answers_to_token_ids, encode_batch, get_tokenizer
+from frozenbilm_tpu.data.tokenization import (
+    answers_to_token_ids,
+    encode_batch,
+    get_tokenizer,
+    parse_length_buckets,
+)
 from frozenbilm_tpu.models import ModelBundle, build_model
 from frozenbilm_tpu.ops.masking import get_mask
 from frozenbilm_tpu.parallel.mesh import (
@@ -113,7 +118,8 @@ def _encode_candidates(tokenizer, texts, args):
     mc = len(texts)
     B = len(texts[0])
     flat = [t for cand in texts for t in cand]
-    enc = encode_batch(tokenizer, flat, args.max_tokens)
+    enc = encode_batch(tokenizer, flat, args.max_tokens,
+                       buckets=parse_length_buckets(args))
     from frozenbilm_tpu.tasks.videoqa import _check_one_mask
 
     _check_one_mask(enc["input_ids"], tokenizer.mask_token_id)

@@ -24,7 +24,11 @@ import numpy as np
 
 from frozenbilm_tpu.config import get_args_parser
 from frozenbilm_tpu.data.loader import DataLoader
-from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
+from frozenbilm_tpu.data.tokenization import (
+    encode_batch,
+    get_tokenizer,
+    parse_length_buckets,
+)
 from frozenbilm_tpu.data.videotext import build_videotext_dataset, videotext_collate
 from frozenbilm_tpu.models import build_model
 from frozenbilm_tpu.ops.masking import get_mask
@@ -44,7 +48,8 @@ from frozenbilm_tpu.utils.metrics import MetricLogger
 
 
 def _device_batch(batch_dict, tokenizer, args, mesh=None):
-    enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens)
+    enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens,
+                       buckets=parse_length_buckets(args))
     video = np.asarray(batch_dict["video"], np.float32)
     video_mask = np.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
     db = {

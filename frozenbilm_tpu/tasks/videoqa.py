@@ -34,6 +34,7 @@ from frozenbilm_tpu.data.tokenization import (
     answers_to_token_ids,
     encode_batch,
     get_tokenizer,
+    parse_length_buckets,
     strip_sep_tokens,
 )
 from frozenbilm_tpu.data.videoqa import build_videoqa_dataset, videoqa_collate
@@ -115,11 +116,6 @@ def make_qa_steps(bundle: ModelBundle, mask_token_id: int, dataset_name: str,
     return loss_fn, eval_step
 
 
-def _buckets(args):
-    raw = getattr(args, "length_buckets", "")
-    return [int(x) for x in raw.split(",") if x.strip()] if raw else None
-
-
 def _check_one_mask(input_ids, mask_token_id) -> None:
     """Every prompt must keep exactly one [MASK] after truncation.
 
@@ -138,9 +134,12 @@ def _check_one_mask(input_ids, mask_token_id) -> None:
             f"the prompt/subtitles")
 
 
-def _encode(tokenizer, texts, args):
-    batch = encode_batch(tokenizer, texts, args.max_tokens, buckets=_buckets(args))
-    if not args.suffix and not args.use_context:
+def _encode(tokenizer, texts, args, *, strip: bool = True):
+    """Shared bucketed encode. strip=False on the train path: the reference
+    removes [SEP] only in evaluate (videoqa.py:151-155)."""
+    batch = encode_batch(tokenizer, texts, args.max_tokens,
+                         buckets=parse_length_buckets(args))
+    if strip and not args.suffix and not args.use_context:
         batch = strip_sep_tokens(batch, tokenizer.sep_token_id, tokenizer.pad_token_id)
     _check_one_mask(batch["input_ids"], tokenizer.mask_token_id)
     return batch
@@ -246,7 +245,7 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
     metric_logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq, header):
-        encoded = encode_batch(tokenizer, batch_dict["text"], args.max_tokens)
+        encoded = _encode(tokenizer, batch_dict["text"], args, strip=False)
         db = _device_batch(batch_dict, encoded)
         db["answer_id"] = jnp.asarray(batch_dict["answer_id"])
         if trainer.mesh is not None:

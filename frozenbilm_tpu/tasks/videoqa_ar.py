@@ -26,7 +26,11 @@ import numpy as np
 
 from frozenbilm_tpu.config import get_args_parser
 from frozenbilm_tpu.data.loader import DataLoader
-from frozenbilm_tpu.data.tokenization import encode_batch, get_tokenizer
+from frozenbilm_tpu.data.tokenization import (
+    encode_batch,
+    get_tokenizer,
+    parse_length_buckets,
+)
 from frozenbilm_tpu.data.videoqa_ar import build_videoqa_ar_dataset, videoqa_ar_collate
 from frozenbilm_tpu.models import build_model
 from frozenbilm_tpu.ops.masking import get_mask
@@ -56,6 +60,12 @@ def group_answers_by_length(tokenizer, a2id: Dict[str, int], max_atokens: int):
     return out
 
 
+def _encode_ar(tokenizer, texts, args):
+    """AR prompts: left-padded (videoqa_ar.py:178-179), length-bucketed."""
+    return encode_batch(tokenizer, texts, args.max_tokens, left_pad=True,
+                        buckets=parse_length_buckets(args))
+
+
 def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
              split="test", type_map=None):
     a2id = data_loader.dataset.a2id
@@ -63,11 +73,22 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
     if is_main_process():
         print(len(a2id), sum(len(v[1]) for v in groups.values()))
 
-    score_fn = jax.jit(
-        lambda p, video, vm, ids, am, tgt: bundle.score(
-            p, bundle.cfg, bundle.vt, video=video, video_mask=vm,
-            input_ids=ids, attention_mask=am, target_ids=tgt)
-    )
+    def _tiled_score(p, video, vm, ids, am, tgt_chunk):
+        """Broadcast question rows per answer chunk ON DEVICE: the host ships
+        (nq, ...) prompts/video once per batch instead of np.repeat-ing
+        chunk x copies over PCIe (VERDICT r1 weak #7); XLA materializes the
+        repeat HBM-locally (and fuses it where possible)."""
+        nq = ids.shape[0]
+        chunk, tlen = tgt_chunk.shape
+        probs = bundle.score(
+            p, bundle.cfg, bundle.vt,
+            video=jnp.repeat(video, chunk, 0), video_mask=jnp.repeat(vm, chunk, 0),
+            input_ids=jnp.repeat(ids, chunk, 0),
+            attention_mask=jnp.repeat(am, chunk, 0),
+            target_ids=jnp.tile(tgt_chunk, (nq, 1)))
+        return probs.reshape(nq, chunk, tlen)
+
+    score_fn = jax.jit(_tiled_score)
 
     metric_logger = MetricLogger()
     res = {}
@@ -77,14 +98,14 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
         # scores at question-batch 1 (videoqa_ar.py:209); here every
         # question in the batch scores each answer chunk in ONE forward of
         # (n_questions * chunk) rows — far fewer dispatches, same ranking.
-        enc = encode_batch(tokenizer, batch_dict["text"], args.max_tokens, left_pad=True)
+        enc = _encode_ar(tokenizer, batch_dict["text"], args)
         video = np.asarray(batch_dict["video"], np.float32)
         video_mask = np.asarray(get_mask(jnp.asarray(batch_dict["video_len"]), video.shape[1]))
         nq = len(batch_dict["qid"])
-        ids_t = jnp.asarray(np.repeat(enc["input_ids"], chunk, 0))
-        am_t = jnp.asarray(np.repeat(enc["attention_mask"], chunk, 0))
-        vid_t = jnp.asarray(np.repeat(video, chunk, 0))
-        vm_t = jnp.asarray(np.repeat(video_mask, chunk, 0))
+        ids_d = jnp.asarray(enc["input_ids"])
+        am_d = jnp.asarray(enc["attention_mask"])
+        vid_d = jnp.asarray(video)
+        vm_d = jnp.asarray(video_mask)
         best_score = np.full(nq, -np.inf)
         best_aid = np.full(nq, -1, np.int64)
         for length, (toks, aids) in groups.items():
@@ -93,10 +114,9 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
                 n = len(t)
                 if n < chunk:  # pad chunk to a fixed shape for XLA
                     t = np.concatenate([t, np.tile(t[-1:], (chunk - n, 1))])
-                targets = jnp.asarray(np.tile(t, (nq, 1)))  # (nq*chunk, length)
                 probs = np.asarray(score_fn(
-                    params, vid_t, vm_t, ids_t, am_t, targets,
-                )).reshape(nq, chunk, length)[:, :n]
+                    params, vid_d, vm_d, ids_d, am_d, jnp.asarray(t),
+                ))[:, :n]
                 pooled = probs.prod(-1)  # product of probabilities (:100)
                 j = pooled.argmax(1)
                 val = pooled[np.arange(nq), j]
