@@ -1,20 +1,28 @@
-"""Benchmark: DeBERTa-v2-XLarge VideoQA eval throughput (QA pairs/sec/chip).
+"""Benchmark: the three BASELINE.md tracked metrics on one chip, with MFU.
 
-Measures the BASELINE.json headline metric: answer-vocabulary scoring over a
-4k answer vocab with 10 visual tokens + 64 text tokens — the videoqa.py eval
-hot path — on jax.default_backend() (the driver runs it on one real TPU chip).
+1. deberta_xl_videoqa_eval_throughput (qa_pairs/sec/chip) — answer-vocab
+   scoring over a 4k vocab, 10 visual + 64 text tokens: the videoqa.py eval
+   hot path and the PRIMARY metric (unchanged name/unit vs bench_baseline).
+2. clip_vitl14_extract (frames/sec/chip) — the extract.py hot loop.
+3. gptneo_ar_scoring (answers/sec/chip) — videoqa_ar teacher-forced
+   chunk scoring on GPT-Neo-1.3B.
 
-Methodology note: the remote-TPU runtime's block_until_ready can return
-before device execution finishes, so naive per-call timing lies. We run K
-forwards *inside one jitted fori_loop* (inputs varied per iteration to defeat
-CSE) and force a scalar device->host fetch; the round trip is amortized
-over K real forwards.
+Each metric also reports achieved TFLOP/s and MFU against the chip's bf16
+peak — so progress is absolute, not relative to a self-baseline (VERDICT r1
+weak #3). FLOPs are ANALYTIC matmul counts (documented per bench):
+XLA's compiled cost_analysis on this PJRT backend under-reports by 8-36x
+(measured r2: deberta 14 vs 114 GFLOP/item, CLIP 7 vs 156), so it is not
+used.
+
+Methodology: the remote-TPU runtime's block_until_ready can return before
+device execution finishes, so naive per-call timing lies. We run K forwards
+*inside one jitted fori_loop* (inputs varied per iteration to defeat CSE)
+and force a scalar device->host fetch; the round trip is amortized over K
+real forwards.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "qa_pairs/sec/chip", "vs_baseline": N}
-
-vs_baseline compares against bench_baseline.json committed in the repo
-(round-1 self-baseline; later rounds show the speedup factor).
+  {"metric": ..., "value": N, "unit": "qa_pairs/sec/chip", "vs_baseline": N,
+   "extra": {...all three metrics + tflops/mfu/device...}}
 """
 
 import json
@@ -22,37 +30,64 @@ import os
 import time
 
 
-def main():
+def peak_bf16_flops(device_kind: str):
+    """Per-chip bf16 peak (FLOP/s) by device kind; None when unknown."""
+    kind = device_kind.lower()
+    table = [
+        ("v6e", 918e12), ("trillium", 918e12), ("v6", 918e12),
+        ("v5p", 459e12),
+        ("v5e", 197e12), ("v5 lite", 197e12), ("v5litepod", 197e12),
+        ("v5", 459e12),
+        ("v4", 275e12),
+        ("v3", 123e12),
+        ("v2", 45e12),
+    ]
+    for key, peak in table:
+        if key in kind:
+            return peak
+    return None
+
+
+def timed(loop_fn, *args):
+    """Compile+warmup (host fetch forces completion), then time one call."""
+    import numpy as np
+
+    _ = float(loop_fn(*args))
+    t0 = time.perf_counter()
+    checksum = float(loop_fn(*args))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return dt
+
+
+def bench_deberta(small: bool):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
     from frozenbilm_tpu.models.deberta import (
+        deberta_answer_logits,
         deberta_forward,
         init_deberta_params,
         set_answer_embeddings,
     )
 
-    small = os.environ.get("FROZENBILM_BENCH_SMALL", "") == "1"
     if small:
         cfg = DebertaV2Config(
             vocab_size=512, hidden_size=64, num_hidden_layers=2,
             num_attention_heads=4, intermediate_size=128,
             max_position_embeddings=64, position_buckets=16,
         )
-        B, T, F, n_ans, iters = 4, 16, 4, 64, 2
-        feat_dim = 32
+        B, T, F, n_ans, iters, feat_dim = 4, 16, 4, 64, 2, 32
     else:
         cfg = DebertaV2Config()  # deberta-v2-xlarge (0.9B)
         # B=128 is the measured throughput knee on v5e (B=32: 636 qa/s,
         # B=128: 843, B=256: 764); eval batching is free for serving
-        B, T, F, n_ans, iters = 128, 64, 10, 4000, 8
-        feat_dim = 768
+        B, T, F, n_ans, iters, feat_dim = 128, 64, 10, 4000, 8, 768
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
-
     # one-dispatch on-device init (per-leaf host RNG costs minutes over the tunnel)
     params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -60,37 +95,159 @@ def main():
     a2tok[:, 3:] = 0
     params = set_answer_embeddings(params, a2tok, pad_token_id=cfg.pad_token_id)
     params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
-    )
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
 
     ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(B, T)))
     am = jnp.ones((B, T), jnp.int32)
     video = jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
     vm = jnp.ones((B, F), jnp.int32)
 
-    from frozenbilm_tpu.models.deberta import deberta_answer_logits
+    def one_eval(params, ids, am, video, vm):
+        # the videoqa eval computation: answer head at the [MASK] position
+        out = deberta_forward(params, cfg, vt, ids, am, video, vm, mlm=False)
+        h = out.last_hidden_state[:, F + 7]
+        return deberta_answer_logits(params, cfg, h)
 
     @jax.jit
-    def timed_loop(params, ids, am, video, vm):
+    def loop(params, ids, am, video, vm):
         def body(i, acc):
             ids_i = (ids + i) % cfg.vocab_size  # defeat CSE across iterations
-            out = deberta_forward(params, cfg, vt, ids_i, am, video, vm, mlm=False)
-            # the videoqa eval computation: answer head at the [MASK] position
-            h = out.last_hidden_state[:, F + 7]
-            logits = deberta_answer_logits(params, cfg, h)
-            return acc + logits.mean()
+            return acc + one_eval(params, ids_i, am, video, vm).mean()
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    # compile + warmup, force real completion with a host fetch
-    _ = float(timed_loop(params, ids, am, video, vm))
+    # analytic matmul FLOPs per forward: (L + 2 EMD reruns) layers x
+    # [qkv+out 8h^2 + FF 4*h*inter + two ds=8 adapters h^2] per token,
+    # + attention scores/context 4*S*h per token, + c2p/p2c one-hot
+    # contractions 8*h*buckets per token, + answer head
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    L_layers = cfg.num_hidden_layers + 2
+    S = T + F
+    per_tok_layer = (8 * h * h + 4 * h * inter + h * h
+                     + 4 * S * h + 8 * h * cfg.position_buckets)
+    flops1 = B * (S * L_layers * per_tok_layer + 2 * h * n_ans)
+    dt = timed(loop, params, ids, am, video, vm)
+    return {"qa_pairs_per_sec": B * iters / dt,
+            "tflops": flops1 * iters / dt / 1e12,
+            "flops_per_item": flops1 / B}
 
-    t0 = time.perf_counter()
-    checksum = float(timed_loop(params, ids, am, video, vm))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    qa_per_sec = B * iters / dt
 
+def bench_clip(small: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import CLIPVisionConfig
+    from frozenbilm_tpu.models.clip import clip_encode_image, init_clip_vision_params
+
+    if small:
+        cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                               num_layers=2, num_heads=4, projection_dim=16)
+        B, iters = 2, 2
+    else:
+        cfg = CLIPVisionConfig()  # ViT-L/14
+        B, iters = 128, 4
+
+    params = jax.jit(lambda k: init_clip_vision_params(k, cfg))(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.normal(size=(B, cfg.image_size, cfg.image_size, 3)), jnp.bfloat16)
+
+    def one(params, pixels):
+        return clip_encode_image(params, cfg, pixels)
+
+    @jax.jit
+    def loop(params, pixels):
+        def body(i, acc):
+            px = pixels + (i % 3).astype(pixels.dtype) * 1e-3
+            return acc + one(params, px).astype(jnp.float32).mean()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    # analytic: per token-layer attn 8h^2 + mlp(4x) 16h^2 + scores/ctx
+    # 4*n_tok*h, + the patch conv
+    h, L = cfg.hidden_size, cfg.num_layers
+    n_tok = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    conv = 2 * (n_tok - 1) * h * 3 * cfg.patch_size * cfg.patch_size
+    flops1 = B * (n_tok * L * (24 * h * h + 4 * n_tok * h) + conv
+                  + 2 * h * cfg.projection_dim)
+    dt = timed(loop, params, pixels)
+    return {"frames_per_sec": B * iters / dt,
+            "tflops": flops1 * iters / dt / 1e12,
+            "flops_per_item": flops1 / B}
+
+
+def bench_ar_scoring(small: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTNeoConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptneo import gptneo_score, init_gptneo_params
+
+    if small:
+        cfg = GPTNeoConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                           num_heads=4, window_size=8,
+                           max_position_embeddings=128)
+        rows, T, F, tgt_len, iters, feat_dim = 4, 16, 4, 3, 2, 32
+    else:
+        cfg = GPTNeoConfig()  # gpt-neo-1.3B
+        # one videoqa_ar chunk: rows = nq * chunk scored in one forward
+        rows, T, F, tgt_len, iters, feat_dim = 64, 64, 10, 4, 4, 768
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    params = jax.jit(lambda k: init_gptneo_params(k, cfg, vt))(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(rows, T)))
+    am = jnp.ones((rows, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(rows, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((rows, F), jnp.int32)
+    targets = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(rows, tgt_len)))
+
+    def one(params, ids, am, video, vm, targets):
+        return gptneo_score(params, cfg, vt, video=video, video_mask=vm,
+                            input_ids=ids, attention_mask=am, target_ids=targets)
+
+    @jax.jit
+    def loop(params, ids, am, video, vm, targets):
+        def body(i, acc):
+            ids_i = (ids + i) % cfg.vocab_size
+            return acc + one(params, ids_i, am, video, vm, targets).mean()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    # analytic: per token-layer attn 8h^2 + FF 4*h*inter + scores/ctx
+    # 4*seq*h, + the lm_head over every position (score path needs it)
+    h, inter, L = cfg.hidden_size, cfg.effective_intermediate_size, cfg.num_layers
+    seq = F + T + tgt_len
+    flops1 = rows * (seq * L * (8 * h * h + 4 * h * inter + 4 * seq * h)
+                     + 2 * seq * h * cfg.vocab_size)
+    dt = timed(loop, params, ids, am, video, vm, targets)
+    return {"answers_per_sec": rows * iters / dt,
+            "tflops": flops1 * iters / dt / 1e12,
+            "flops_per_item": flops1 / rows}
+
+
+def main():
+    import jax
+
+    small = os.environ.get("FROZENBILM_BENCH_SMALL", "") == "1"
+    device_kind = jax.devices()[0].device_kind
+    peak = peak_bf16_flops(device_kind)
+
+    def mfu(tflops):
+        return round(tflops * 1e12 / peak, 4) if peak else None
+
+    deberta = bench_deberta(small)
+    clip = bench_clip(small)
+    ar = bench_ar_scoring(small)
+
+    qa_per_sec = deberta["qa_pairs_per_sec"]
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
@@ -104,6 +261,25 @@ def main():
         "value": round(qa_per_sec, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(vs, 3),
+        "extra": {
+            "device_kind": device_kind,
+            "peak_bf16_tflops": peak / 1e12 if peak else None,
+            "deberta_xl_eval": {
+                "qa_pairs_per_sec": round(qa_per_sec, 2),
+                "tflops": round(deberta["tflops"], 2),
+                "mfu": mfu(deberta["tflops"]),
+            },
+            "clip_vitl14_extract": {
+                "frames_per_sec": round(clip["frames_per_sec"], 2),
+                "tflops": round(clip["tflops"], 2),
+                "mfu": mfu(clip["tflops"]),
+            },
+            "gptneo13_ar_scoring": {
+                "answers_per_sec": round(ar["answers_per_sec"], 2),
+                "tflops": round(ar["tflops"], 2),
+                "mfu": mfu(ar["tflops"]),
+            },
+        },
     }))
 
 

@@ -123,3 +123,26 @@ def test_smoothed_value_matches_reference():
         ref2.update(v)
         ours2.update(v)
     assert float(ref2.median) == ours2.median == 3.0
+
+
+def test_bench_small_schema(capsys):
+    """bench.py must keep the ONE-json-line contract the driver parses:
+    metric/value/unit/vs_baseline at top level, all three tracked metrics
+    under extra (BASELINE.md 'tracked metrics')."""
+    import json
+
+    import bench
+
+    os.environ["FROZENBILM_BENCH_SMALL"] = "1"
+    try:
+        bench.main()
+    finally:
+        os.environ.pop("FROZENBILM_BENCH_SMALL", None)
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][-1]
+    out = json.loads(line)
+    assert out["metric"] == "deberta_xl_videoqa_eval_throughput"
+    assert out["unit"] == "qa_pairs/sec/chip"
+    assert out["value"] > 0 and out["vs_baseline"] > 0
+    extra = out["extra"]
+    for key in ("deberta_xl_eval", "clip_vitl14_extract", "gptneo13_ar_scoring"):
+        assert extra[key]["tflops"] >= 0
