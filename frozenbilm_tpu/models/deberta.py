@@ -25,6 +25,7 @@ TPU-first design decisions (not translations):
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -49,8 +50,21 @@ from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index, masked_softma
 from frozenbilm_tpu.ops.rel_pos import (
     build_c2p_p2c_indices,
     onehot_gather_tables,
+    skew_reorder_indices,
+    skew_select,
     used_bucket_range,
 )
+
+# How the c2p/p2c relative-position terms select the (L, L) bias from the
+# (L, band) projections (reference torch.gather, deberta.py:870-918):
+#   "skew"   — reorder the rel-embedding rows per diagonal, contract, then a
+#              pad+reshape+slice (Toeplitz skew). No selection FLOPs at all.
+#   "onehot" — contract against a constant one-hot (L, L, band) table
+#              (2*B*H*L*L*band extra FLOPs/layer, the round-1 winner vs
+#              TPU gathers).
+#   "gather" — take_along_axis (layout-copy heavy on TPU; kept as oracle).
+# "auto" resolves per the on-chip A/B below; FROZENBILM_REL_SELECT overrides.
+REL_SELECT_DEFAULT = "auto"
 
 
 class DebertaOutput(NamedTuple):
@@ -232,30 +246,41 @@ def _disentangled_attention(
     if cfg.relative_attention and rel_emb is not None:
         rel_emb = dropout(
             rngs.next(), rel_emb, cfg.hidden_dropout_prob, deterministic
-        )  # pos_dropout (deberta.py:779)
-        c2p_idx, p2c_idx, onehot = rel_idx
+        )  # pos_dropout (deberta.py:779) — applied ONCE, before any reorder
+        mode = rel_idx["mode"]
         # only the used bucket band of the table is projected (ops/rel_pos.py:
-        # used_bucket_range) — the gathers below never index outside it
+        # used_bucket_range) — selection below never indexes outside it.
+        # skew mode projects diagonal-reordered copies instead, making the
+        # (L, L) selection a pure pad+reshape+slice.
+        if mode == "skew":
+            rel_for_key = rel_emb[jnp.asarray(rel_idx["g_c2p"])]
+            rel_for_query = rel_emb[jnp.asarray(rel_idx["g_p2c"])]
+        else:
+            rel_for_key = rel_for_query = rel_emb
         if cfg.share_att_key:
-            pos_key = split_heads(linear(p_self["key_proj"], rel_emb[None]), nh)[0]
-            pos_query = split_heads(linear(p_self["query_proj"], rel_emb[None]), nh)[0]
+            pos_key = split_heads(linear(p_self["key_proj"], rel_for_key[None]), nh)[0]
+            pos_query = split_heads(
+                linear(p_self["query_proj"], rel_for_query[None]), nh)[0]
         else:
             pos_key = (
-                split_heads(linear(p_self["pos_key_proj"], rel_emb[None]), nh)[0]
+                split_heads(linear(p_self["pos_key_proj"], rel_for_key[None]), nh)[0]
                 if "pos_key_proj" in p_self
                 else None
             )
             pos_query = (
-                split_heads(linear(p_self["pos_query_proj"], rel_emb[None]), nh)[0]
+                split_heads(linear(p_self["pos_query_proj"], rel_for_query[None]), nh)[0]
                 if "pos_query_proj" in p_self
                 else None
             )
+        onehot = rel_idx["onehot"]
         if "c2p" in cfg.pos_att_type:
-            # (B,H,Lq,band) then Toeplitz selection along the bucket axis
+            # (B,H,Lq,band|2L-1) then Toeplitz selection along the bucket axis
             c2p_full = jnp.einsum(
                 "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
             )
-            if onehot is not None:
+            if mode == "skew":
+                c2p = skew_select(c2p_full)
+            elif onehot is not None:
                 # one-hot contraction instead of gather: TPU gathers force
                 # layout-transpose copies of the whole (B,H,L,band) operand
                 c2p = jnp.einsum(
@@ -265,14 +290,17 @@ def _disentangled_attention(
                 )
             else:
                 c2p = jnp.take_along_axis(
-                    c2p_full, jnp.asarray(c2p_idx)[None, None], axis=-1
+                    c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
                 )
             scores = scores + c2p / scale
         if "p2c" in cfg.pos_att_type:
             p2c_full = jnp.einsum(
                 "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
             )
-            if onehot is not None:
+            if mode == "skew":
+                # skew yields S[j, i]; the bias wants [i, j]
+                p2c_t = jnp.swapaxes(skew_select(p2c_full), -1, -2)
+            elif onehot is not None:
                 # p2c table is indexed [j, i, k'] so this lands directly as [i, j]
                 p2c_t = jnp.einsum(
                     "bhjk,jik->bhij", p2c_full,
@@ -282,7 +310,7 @@ def _disentangled_attention(
             else:
                 p2c_t = jnp.swapaxes(
                     jnp.take_along_axis(
-                        p2c_full, jnp.asarray(p2c_idx)[None, None], axis=-1
+                        p2c_full, jnp.asarray(rel_idx["p2c"])[None, None], axis=-1
                     ), -1, -2,
                 )
             scores = scores + p2c_t / scale
@@ -386,15 +414,36 @@ def _encoder_forward(
     if rel_emb is not None:
         rel_emb = rel_emb[lo:hi]  # only the touched bucket band (HBM saver)
     band = hi - lo
-    # one-hot matmul selection beats gather for short sequences; gate on the
-    # constant's footprint (streamed per layer)
+    mode = os.environ.get("FROZENBILM_REL_SELECT", "") or REL_SELECT_DEFAULT
+    if mode == "auto":
+        # one-hot is the round-1 on-chip winner while its constant fits;
+        # skew replaces the gather fallback beyond that (no selection FLOPs,
+        # two layout copies) — see scripts/rel_select_ab.py for the A/B
+        mode = "onehot" if L * L * band <= 4_000_000 else "skew"
     onehot = None
-    if L * L * band <= 4_000_000:
-        onehot = onehot_gather_tables(
+    if mode == "onehot":
+        if L * L * band <= 4_000_000:
+            onehot = onehot_gather_tables(
+                L, cfg.pos_ebd_size, cfg.position_buckets,
+                cfg.effective_max_relative_positions,
+            )
+        else:  # footprint gate tripped: fall back to the gather oracle
+            mode = "gather"
+    g_c2p = g_p2c = None
+    if mode == "skew":
+        g_c2p, g_p2c = skew_reorder_indices(
             L, cfg.pos_ebd_size, cfg.position_buckets,
             cfg.effective_max_relative_positions,
         )
-    rel_idx = (c2p_idx - lo, p2c_idx - lo, onehot)
+        g_c2p, g_p2c = g_c2p - lo, g_p2c - lo
+    rel_idx = {
+        "mode": mode,
+        "c2p": c2p_idx - lo,
+        "p2c": p2c_idx - lo,
+        "onehot": onehot,
+        "g_c2p": g_c2p,
+        "g_p2c": g_p2c,
+    }
 
     layers = enc_params["layers"]
     n_layers = cfg.num_hidden_layers

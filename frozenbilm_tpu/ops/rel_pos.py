@@ -111,3 +111,50 @@ def used_bucket_range(
     lo = int(min(c2p.min(), p2c.min()))
     hi = int(max(c2p.max(), p2c.max())) + 1
     return lo, hi
+
+
+@functools.lru_cache(maxsize=64)
+def skew_reorder_indices(
+    seq_len: int, att_span: int, bucket_size: int, max_position: int
+):
+    """Diagonal-reorder vectors turning c2p/p2c selection into a skew slice.
+
+    bucket(i - j) depends only on (i - j), so the (L, L) selection matrices
+    are Toeplitz. Reordering the relative-embedding ROWS before projection
+    makes the selected matrix A[i, m] with m = (L-1) - i + j, and
+    T[i, j] = A[i, (L-1) - i + j] is then one pad+reshape+slice (skew_select)
+    — no gather, no one-hot matmul (those cost ~2*B*H*L*L*band FLOPs/layer).
+
+    Returns (g_c2p, g_p2c), each (2L-1,) int32 indices into the FULL
+    2*att_span-row table:
+      g_c2p[m] = c2p_idx at (i - j) == (L-1) - m
+      g_p2c[m] = p2c_idx at (j - i) == (L-1) - m
+    """
+    c2p, p2c = build_c2p_p2c_indices(seq_len, att_span, bucket_size, max_position)
+
+    def diag_value(tbl, delta):
+        return tbl[delta, 0] if delta >= 0 else tbl[0, -delta]
+
+    L = seq_len
+    deltas = [(L - 1) - m for m in range(2 * L - 1)]
+    g_c2p = np.asarray([diag_value(c2p, d) for d in deltas], np.int32)
+    g_p2c = np.asarray([diag_value(p2c, d) for d in deltas], np.int32)
+    return g_c2p, g_p2c
+
+
+def skew_select(A):
+    """(..., L, 2L-1) -> (..., L, L): T[..., i, j] = A[..., i, (L-1) - i + j].
+
+    The Music-Transformer/T-XL skew: pad one column, flatten the last two
+    dims, slice at offset L-1, reshape to (L, 2L-1), keep the first L
+    columns. Two layout copies instead of a gather or one-hot contraction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    *lead, L, M = A.shape
+    assert M == 2 * L - 1, (L, M)
+    Ap = jnp.pad(A, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])  # (..., L, 2L)
+    flat = Ap.reshape(*lead, L * 2 * L)
+    T = jax.lax.slice_in_dim(flat, L - 1, L - 1 + L * (2 * L - 1), axis=-1)
+    return T.reshape(*lead, L, 2 * L - 1)[..., :L]

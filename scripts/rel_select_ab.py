@@ -1,0 +1,63 @@
+"""On-chip A/B of the disentangled-attention selection modes (skew vs
+onehot vs gather) at the bench shapes — B=128, L=74, xlarge config.
+
+Run: python scripts/rel_select_ab.py   (real chip; ~2 min)
+Prints one JSON line per mode with qa_pairs/sec.
+"""
+
+import json
+import os
+import time
+
+
+def run(mode: str):
+    os.environ["FROZENBILM_REL_SELECT"] = mode
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
+    from frozenbilm_tpu.models import deberta as m
+
+    cfg = DebertaV2Config()
+    B, T, F, iters, feat_dim = 128, 64, 10, 8, 768
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
+    params = jax.jit(lambda k: m.init_deberta_params(k, cfg, vt))(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a2tok = rng.integers(5, cfg.vocab_size, size=(4000, 5))
+    a2tok[:, 3:] = 0
+    params = m.set_answer_embeddings(params, a2tok, pad_token_id=cfg.pad_token_id)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(B, T)))
+    am = jnp.ones((B, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((B, F), jnp.int32)
+
+    @jax.jit
+    def loop(params, ids, am, video, vm):
+        def body(i, acc):
+            ids_i = (ids + i) % cfg.vocab_size
+            out = m.deberta_forward(params, cfg, vt, ids_i, am, video, vm, mlm=False)
+            h = out.last_hidden_state[:, F + 7]
+            return acc + m.deberta_answer_logits(params, cfg, h).mean()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    _ = float(loop(params, ids, am, video, vm))
+    t0 = time.perf_counter()
+    checksum = float(loop(params, ids, am, video, vm))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    print(json.dumps({"mode": mode, "qa_pairs_per_sec": round(B * iters / dt, 2)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    for mode in (sys.argv[1:] or ["onehot", "skew"]):
+        run(mode)

@@ -202,3 +202,20 @@ def test_jit_and_grads():
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     # adapters and linear_video receive nonzero gradient
     assert float(jnp.abs(g["embeddings"]["linear_video"]["kernel"]).sum()) > 0
+
+
+def test_rel_select_modes_equivalent(monkeypatch):
+    """skew / onehot / gather selection paths compute the same logits —
+    they are three formulations of the same torch.gather
+    (reference deberta.py:870-918)."""
+    ref, params, cfg, vt = _build_pair()
+    ids, am, video, vm = _inputs()
+    outs = {}
+    for mode in ("skew", "onehot", "gather"):
+        monkeypatch.setenv("FROZENBILM_REL_SELECT", mode)
+        out = deberta_forward(
+            params, cfg, vt, jnp.asarray(ids), jnp.asarray(am),
+            jnp.asarray(video), jnp.asarray(vm), mlm=True)
+        outs[mode] = np.asarray(out.logits)
+    np.testing.assert_allclose(outs["skew"], outs["onehot"], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs["skew"], outs["gather"], atol=2e-5, rtol=1e-5)
