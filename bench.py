@@ -233,6 +233,51 @@ def bench_ar_scoring(small: bool):
             "flops_per_item": flops1 / rows}
 
 
+def bench_greedy_decode(small: bool):
+    """KV-cache greedy decode throughput (gptneo_greedy_cached): one prefill
+    + N single-token scan steps. Decode is HBM-bandwidth-bound (every step
+    re-reads the weights), so we report tokens/sec and steps/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTNeoConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached, init_gptneo_params
+
+    if small:
+        cfg = GPTNeoConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                           num_heads=4, window_size=8,
+                           max_position_embeddings=128)
+        B, T, F, new_tokens, feat_dim = 2, 8, 4, 4, 32
+    else:
+        cfg = GPTNeoConfig()  # gpt-neo-1.3B
+        B, T, F, new_tokens, feat_dim = 16, 64, 10, 32, 768
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    params = jax.jit(lambda k: init_gptneo_params(k, cfg, vt))(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(B, T)))
+    am = jnp.ones((B, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((B, F), jnp.int32)
+
+    gen = jax.jit(lambda p, v, m, i, a: gptneo_greedy_cached(
+        p, cfg, vt, video=v, video_mask=m, input_ids=i, attention_mask=a,
+        max_new_tokens=new_tokens))
+
+    # full token fetch to host forces real completion (remote-TPU timing lies)
+    _ = np.asarray(gen(params, video, vm, ids, am))
+    t0 = time.perf_counter()
+    out = np.asarray(gen(params, video, vm, ids, am))
+    dt = time.perf_counter() - t0
+    assert out.shape == (B, T + new_tokens)
+    return {"tokens_per_sec": B * new_tokens / dt,
+            "decode_steps_per_sec": new_tokens / dt}
+
+
 def main():
     import jax
 
@@ -246,6 +291,7 @@ def main():
     deberta = bench_deberta(small)
     clip = bench_clip(small)
     ar = bench_ar_scoring(small)
+    decode = bench_greedy_decode(small)
 
     qa_per_sec = deberta["qa_pairs_per_sec"]
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -278,6 +324,10 @@ def main():
                 "answers_per_sec": round(ar["answers_per_sec"], 2),
                 "tflops": round(ar["tflops"], 2),
                 "mfu": mfu(ar["tflops"]),
+            },
+            "gptneo13_greedy_decode": {
+                "tokens_per_sec": round(decode["tokens_per_sec"], 2),
+                "decode_steps_per_sec": round(decode["decode_steps_per_sec"], 2),
             },
         },
     }))

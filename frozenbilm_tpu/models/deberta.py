@@ -252,7 +252,7 @@ def _disentangled_attention(
         # used_bucket_range) — selection below never indexes outside it.
         # skew mode projects diagonal-reordered copies instead, making the
         # (L, L) selection a pure pad+reshape+slice.
-        if mode == "skew":
+        if mode in ("skew", "kernel"):
             rel_for_key = rel_emb[jnp.asarray(rel_idx["g_c2p"])]
             rel_for_query = rel_emb[jnp.asarray(rel_idx["g_p2c"])]
         else:
@@ -273,7 +273,18 @@ def _disentangled_attention(
                 else None
             )
         onehot = rel_idx["onehot"]
-        if "c2p" in cfg.pos_att_type:
+        if mode == "kernel":
+            # Pallas rowbias: per-(h, i) batch-in-rows MXU passes against a
+            # contiguous window of the reordered table (ops/rel_bias.py) —
+            # computes only the needed (L, L) bias, zero selection FLOPs
+            from frozenbilm_tpu.ops.rel_bias import rowbias
+
+            if "c2p" in cfg.pos_att_type:
+                scores = scores + rowbias(q, pos_key) / scale
+            if "p2c" in cfg.pos_att_type:
+                scores = scores + jnp.swapaxes(
+                    rowbias(k, pos_query), -1, -2) / scale
+        if mode != "kernel" and "c2p" in cfg.pos_att_type:
             # (B,H,Lq,band|2L-1) then Toeplitz selection along the bucket axis
             c2p_full = jnp.einsum(
                 "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
@@ -293,7 +304,7 @@ def _disentangled_attention(
                     c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
                 )
             scores = scores + c2p / scale
-        if "p2c" in cfg.pos_att_type:
+        if mode != "kernel" and "p2c" in cfg.pos_att_type:
             p2c_full = jnp.einsum(
                 "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
             )
@@ -430,7 +441,7 @@ def _encoder_forward(
         else:  # footprint gate tripped: fall back to the gather oracle
             mode = "gather"
     g_c2p = g_p2c = None
-    if mode == "skew":
+    if mode in ("skew", "kernel"):
         g_c2p, g_p2c = skew_reorder_indices(
             L, cfg.pos_ebd_size, cfg.position_buckets,
             cfg.effective_max_relative_positions,

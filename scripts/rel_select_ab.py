@@ -1,5 +1,5 @@
-"""On-chip A/B of the disentangled-attention selection modes (skew vs
-onehot vs gather) at the bench shapes — B=128, L=74, xlarge config.
+"""On-chip A/B of the disentangled-attention selection modes (skew /
+onehot / gather / Pallas kernel) at the bench shapes — B=128, L=74, xlarge config.
 
 Run: python scripts/rel_select_ab.py   (real chip; ~2 min)
 Prints one JSON line per mode with qa_pairs/sec.
@@ -59,5 +59,5 @@ def run(mode: str):
 if __name__ == "__main__":
     import sys
 
-    for mode in (sys.argv[1:] or ["onehot", "skew"]):
+    for mode in (sys.argv[1:] or ["onehot", "skew", "kernel"]):
         run(mode)
