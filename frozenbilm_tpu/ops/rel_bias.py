@@ -40,14 +40,15 @@ def _rowbias_kernel(x_ref, tbl_ref, out_ref):
     i = pl.program_id(1)
     L = out_ref.shape[-1]
     x = x_ref[:, 0, 0, :]  # (B, d)
-    win = tbl_ref[0][pl.dslice((L - 1) - i, L), :]  # (L, d) contiguous window
+    win = tbl_ref[0, pl.dslice((L - 1) - i, L), :]  # (L, d) contiguous window
     out_ref[:, 0, 0, :] = jax.lax.dot_general(
         x, win, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _rowbias_pallas(x: jax.Array, table: jax.Array) -> jax.Array:
+def _rowbias_pallas(x: jax.Array, table: jax.Array,
+                    interpret: bool = False) -> jax.Array:
     B, H, L, d = x.shape
     assert table.shape == (H, 2 * L - 1, d), (x.shape, table.shape)
     return pl.pallas_call(
@@ -59,6 +60,7 @@ def _rowbias_pallas(x: jax.Array, table: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((B, 1, 1, L), lambda h, i: (0, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, L, L), jnp.float32),
+        interpret=interpret,
     )(x, table)
 
 

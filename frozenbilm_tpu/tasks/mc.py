@@ -254,7 +254,8 @@ def main(args):
 
     mesh = None
     if jax.device_count() > 1:
-        n_data = jax.device_count() // max(1, args.mesh_model)
+        n_data = (args.mesh_data if args.mesh_data > 0
+                  else jax.device_count() // max(1, args.mesh_model))
         mesh = make_mesh(MeshSpec(data=n_data, model=args.mesh_model))
 
     log_stats = []

@@ -146,3 +146,19 @@ def test_bench_small_schema(capsys):
     extra = out["extra"]
     for key in ("deberta_xl_eval", "clip_vitl14_extract", "gptneo13_ar_scoring"):
         assert extra[key]["tflops"] >= 0
+
+
+def test_pipeline_bench_small(capsys):
+    """scripts/pipeline_bench drives loader->tokenize->MLM train_step and
+    reports loader occupancy (VERDICT r1 #7); small config on CPU."""
+    import json
+
+    from scripts.pipeline_bench import main as bench_main
+
+    bench_main(["--small"])
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "pretrain_input_pipeline"
+    assert out["steps_per_sec"] > 0
+    assert 0.0 <= out["loader_occupancy"] <= 1.0
