@@ -30,10 +30,14 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
         transform=None,
     ):
-        """`transform(batch) -> batch` runs in the prefetch thread (use it
-        for tokenization so host text processing overlaps device steps)."""
+        """`transform(batch) -> batch` runs in the prefetch/worker threads
+        (use it for tokenization so host text processing overlaps device
+        steps). `num_workers > 1` builds batches in a thread pool with
+        order-preserving handoff — numpy/mmap reads and fast tokenizers
+        release the GIL, so workers overlap on real IO."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -44,6 +48,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -70,13 +75,36 @@ class DataLoader:
         idx = self._indices()
         end = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
-            chunk = idx[s: s + self.batch_size]
-            batch = self.collate_fn([self.dataset[int(i)] for i in chunk])
-            if self.transform is not None:
-                batch = self.transform(batch)
-            yield batch
+            yield self._make_batch(idx[s: s + self.batch_size])
+
+    def _make_batch(self, chunk) -> object:
+        batch = self.collate_fn([self.dataset[int(i)] for i in chunk])
+        if self.transform is not None:
+            batch = self.transform(batch)
+        return batch
+
+    def _iter_workers(self) -> Iterator:
+        """Thread-pool batch construction, yielded in index order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self._indices()
+        end = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
+        chunks = [idx[s: s + self.batch_size] for s in range(0, end, self.batch_size)]
+        window = self.num_workers + max(self.prefetch, 1)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            futs = {seq: ex.submit(self._make_batch, chunks[seq])
+                    for seq in range(min(window, len(chunks)))}
+            next_submit = len(futs)
+            for seq in range(len(chunks)):
+                yield futs.pop(seq).result()
+                if next_submit < len(chunks):
+                    futs[next_submit] = ex.submit(self._make_batch, chunks[next_submit])
+                    next_submit += 1
 
     def __iter__(self) -> Iterator:
+        if self.num_workers > 1:
+            yield from self._iter_workers()
+            return
         if self.prefetch <= 0:
             yield from self._batches()
             return

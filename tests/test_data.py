@@ -269,3 +269,16 @@ def test_bucketed_padding(tmp_path):
     assert out["input_ids"].shape[1] == 8
     out = encode_batch(tok, ["a " * 20], 64, buckets=[8, 16, 32])
     assert out["input_ids"].shape[1] == 32
+
+
+def test_loader_multiworker_matches_single():
+    """num_workers>1 yields identical batches in identical order (the
+    order-preserving thread-pool handoff)."""
+    from frozenbilm_tpu.data.loader import DataLoader
+
+    data = list(range(23))
+    collate = lambda b: np.asarray(b)  # noqa: E731
+    kw = dict(collate_fn=collate, shuffle=True, seed=7)
+    single = [b.tolist() for b in DataLoader(data, 4, **kw)]
+    multi = [b.tolist() for b in DataLoader(data, 4, num_workers=4, **kw)]
+    assert single == multi and len(single) == 6
