@@ -282,3 +282,60 @@ def test_loader_multiworker_matches_single():
     single = [b.tolist() for b in DataLoader(data, 4, **kw)]
     multi = [b.tolist() for b in DataLoader(data, 4, num_workers=4, **kw)]
     assert single == multi and len(single) == 6
+
+
+def _write_deberta_fast_tokenizer(d):
+    """Minimal tokenizer.json dir loadable by DebertaV2TokenizerFast — the
+    code path get_tokenizer takes for deberta when no sentencepiece model
+    is present (data/tokenization.py)."""
+    import json as _json
+
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    words = ["question", "what", "is", "a", "cat", "dog", "answer", "the"]
+    vocab = {"[PAD]": 0, "[CLS]": 1, "[SEP]": 2, "[UNK]": 3, "[MASK]": 4,
+             **{w: i + 5 for i, w in enumerate(words)}}
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]", pair="[CLS] $A [SEP] $B [SEP]",
+        special_tokens=[("[CLS]", 1), ("[SEP]", 2)])
+    tok.save(os.path.join(d, "tokenizer.json"))
+    _json.dump({"pad_token": "[PAD]", "cls_token": "[CLS]", "sep_token": "[SEP]",
+                "unk_token": "[UNK]", "mask_token": "[MASK]"},
+               open(os.path.join(d, "special_tokens_map.json"), "w"))
+
+
+def test_deberta_fast_tokenizer_path(tmp_path):
+    """get_tokenizer's deberta branch (fast fallback) feeds encode_batch,
+    strip_sep_tokens and answers_to_token_ids correctly — the same plumbing
+    the released deberta-v2-xlarge tokenizer.json would go through."""
+    import argparse
+
+    from frozenbilm_tpu.data.tokenization import (
+        answers_to_token_ids,
+        encode_batch,
+        get_tokenizer,
+        strip_sep_tokens,
+    )
+
+    _write_deberta_fast_tokenizer(str(tmp_path))
+    args = argparse.Namespace(model_name="deberta-v2-xlarge",
+                              tokenizer_path=str(tmp_path))
+    tok = get_tokenizer(args)
+    assert tok.mask_token_id == 4 and tok.pad_token_id == 0
+
+    enc = encode_batch(tok, ["question what is a cat [MASK]",
+                             "what is [MASK]"], max_tokens=12)
+    assert enc["input_ids"].shape[1] <= 12
+    assert (enc["input_ids"] == 4).sum(1).tolist() == [1, 1]
+    # [CLS]/[SEP] flagged special, real words not
+    row = enc["special_tokens_mask"][0]
+    assert row[0] == 1 and row[1] == 0
+
+    stripped = strip_sep_tokens(enc, tok.sep_token_id, tok.pad_token_id)
+    assert (stripped["input_ids"] == tok.sep_token_id).sum() == 0
+
+    a2tok = answers_to_token_ids(tok, ["cat", "the dog"], max_atokens=3)
+    assert a2tok.shape == (2, 3)
+    assert a2tok[0, 0] == 9 and a2tok[1, 1] == 10  # no specials, padded
