@@ -83,3 +83,34 @@ def test_gptneo_tp_forward_matches_single_device():
 
     out = np.asarray(fwd(sharded, ids, am, video, vm))
     np.testing.assert_allclose(ref, out, atol=2e-4, rtol=1e-3)
+
+
+def test_gptneo_greedy_cached_under_tp_matches_single_device():
+    """The KV-cache decoder runs under tensor-parallel shardings (cache
+    heads follow the sharded projections) and emits the same tokens as the
+    unsharded path."""
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached
+
+    neo_cfg = GPTNeoConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                           num_heads=4, window_size=5,
+                           max_position_embeddings=64)
+    params = init_gptneo_params(jax.random.PRNGKey(0), neo_cfg, VT)
+    ids, am, video, vm = _inputs()
+    ref = np.asarray(gptneo_greedy_cached(
+        params, neo_cfg, VT, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=5))
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    specs = gpt_param_specs(params)
+    sharded = shard_params(mesh, params, specs)
+    data_sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, data_sh) for x in (video, vm, ids, am)]
+
+    @jax.jit
+    def gen(p, video, vm, ids, am):
+        return gptneo_greedy_cached(p, neo_cfg, VT, video=video, video_mask=vm,
+                                    input_ids=ids, attention_mask=am,
+                                    max_new_tokens=5)
+
+    out = np.asarray(gen(sharded, *args))
+    np.testing.assert_array_equal(ref, out)
