@@ -276,7 +276,9 @@ def gptj_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_mask
 
 
 def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
-                       attention_mask, max_new_tokens: int):
+                       attention_mask, max_new_tokens: int,
+                       eos_token_id: Optional[int] = None,
+                       pad_token_id: int = 0):
     """KV-cache greedy decode: ONE prefill forward (video + prompt), then
     max_new_tokens single-token steps inside a lax.scan over a preallocated
     (num_layers, B, heads, Lmax, head_dim) cache.
@@ -310,9 +312,12 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     sin_np, cos_np = _rotary_sincos(Lmax, rd)
     sin_all, cos_all = jnp.asarray(sin_np), jnp.asarray(cos_np)
     first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+    # HF unfinished_sequences semantics (reference gptneo.py:1680-1700):
+    # rows that emitted eos keep it, then produce pad forever after
+    unfinished0 = (first != eos_token_id) if eos_token_id is not None else None
 
     def decode_step(carry, _):
-        k_cache, v_cache, key_mask, tok, t = carry
+        k_cache, v_cache, key_mask, tok, t, unfinished = carry
         # the consumed token becomes a valid key at position t
         key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
         x = params["wte"][tok]  # (B, H)
@@ -350,9 +355,13 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
         x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
         logits = linear(params["lm_head"], x).astype(jnp.float32)
         nxt = jnp.argmax(logits, axis=-1)
-        return (k_cache, v_cache, key_mask, nxt, t + 1), nxt
+        if unfinished is not None:
+            nxt = jnp.where(unfinished, nxt, pad_token_id)
+            unfinished = unfinished & (nxt != eos_token_id)
+        return (k_cache, v_cache, key_mask, nxt, t + 1, unfinished), nxt
 
-    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32))
+    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32),
+             unfinished0)
     if max_new_tokens > 1:
         _, rest = jax.lax.scan(decode_step, carry, None, length=max_new_tokens - 1)
         tokens = jnp.concatenate([first[:, None], rest.T], axis=1)

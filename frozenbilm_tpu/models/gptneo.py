@@ -255,7 +255,9 @@ def gptneo_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_ma
 
 
 def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
-                         attention_mask, max_new_tokens: int):
+                         attention_mask, max_new_tokens: int,
+                         eos_token_id: Optional[int] = None,
+                         pad_token_id: int = 0):
     """KV-cache greedy decode (TPU rebuild of the vendored greedy_search +
     past_key_values path, gptneo.py:850-1726): ONE genpos prefill forward,
     then max_new_tokens single-token steps in a lax.scan over a preallocated
@@ -289,9 +291,12 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
 
     is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
     first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+    # HF unfinished_sequences semantics (vendored greedy_search,
+    # gptneo.py:1680-1700): eos rows keep eos, then emit pad forever
+    unfinished0 = (first != eos_token_id) if eos_token_id is not None else None
 
     def decode_step(carry, _):
-        k_cache, v_cache, key_mask, tok, t, pos = carry
+        k_cache, v_cache, key_mask, tok, t, pos, unfinished = carry
         key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
         x = params["wte"][tok] + params["wpe"][pos]  # (B, H)
         idx = jnp.arange(Lmax)
@@ -327,9 +332,13 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
         x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
         logits = linear(params["lm_head"], x).astype(jnp.float32)
         nxt = jnp.argmax(logits, axis=-1)
-        return (k_cache, v_cache, key_mask, nxt, t + 1, pos + 1), nxt
+        if unfinished is not None:
+            nxt = jnp.where(unfinished, nxt, pad_token_id)
+            unfinished = unfinished & (nxt != eos_token_id)
+        return (k_cache, v_cache, key_mask, nxt, t + 1, pos + 1, unfinished), nxt
 
-    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32), pos0)
+    carry = (k_cache, v_cache, key_mask, first, jnp.asarray(L0, jnp.int32), pos0,
+             unfinished0)
     if max_new_tokens > 1:
         _, rest = jax.lax.scan(decode_step, carry, None, length=max_new_tokens - 1)
         tokens = jnp.concatenate([first[:, None], rest.T], axis=1)

@@ -216,3 +216,33 @@ def test_gptneo_greedy_cached_matches_reference_vendored_generate():
         max_new_tokens=5))
     # the reference returns [prompt ‖ generated]; so do we
     np.testing.assert_array_equal(np.asarray(gen), ours)
+
+
+@pytest.mark.parametrize("family", ["gptj", "gptneo"])
+def test_gpt_greedy_cached_eos_pads_finished_rows(family):
+    """HF unfinished_sequences semantics: a row that emits eos keeps it and
+    produces pad afterwards; rows that never emit eos are unchanged
+    (vendored greedy_search, gptneo.py:1680-1700)."""
+    from frozenbilm_tpu.models.gptj import gptj_greedy_cached
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached
+
+    _, params, cfg = _gptj_pair() if family == "gptj" else _gptneo_pair()
+    fn = gptj_greedy_cached if family == "gptj" else gptneo_greedy_cached
+    ids, am, video, vm = _inputs(B=3, T=7)
+    kw = dict(video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+              input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am))
+    base = np.asarray(fn(params, cfg, VT, max_new_tokens=6, **kw))
+    gen = base[:, 7:]
+    # pick the 2nd generated token of row 0 as the eos id so it triggers
+    eos = int(gen[0, 1])
+    out = np.asarray(fn(params, cfg, VT, max_new_tokens=6,
+                        eos_token_id=eos, pad_token_id=0, **kw))[:, 7:]
+    for b in range(3):
+        hits = np.flatnonzero(out[b] == eos)
+        if hits.size:
+            cut = hits[0]
+            assert (out[b, cut + 1:] == 0).all(), (b, out[b])
+            np.testing.assert_array_equal(out[b, :cut + 1], gen[b, :cut + 1])
+        else:
+            np.testing.assert_array_equal(out[b], gen[b])
+    assert (out[0, 2:] == 0).all()  # row 0 finished at step 1 by construction
