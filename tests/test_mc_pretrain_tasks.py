@@ -174,3 +174,52 @@ def test_mc_train_uses_dropout(env):
     assert l1 != l2, "dropout rng not threaded into the MC forward"
     assert d1 == d2, "deterministic path must be rng-free"
     assert np.isfinite([l1, l2, d1]).all()
+
+
+def test_mc_hidden_test_dumps_predictions_only(env, tmp_path):
+    """TVQA-style hidden test set (answer_id == -1): the driver dumps
+    {qid: pred} with no accuracy (reference mc.py:180, 205-207)."""
+    import numpy as np
+    import pandas as pd
+    import pickle
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.data.features import PackedFeatureStore
+    from frozenbilm_tpu.tasks.mc import main
+
+    root, model_dir, _, _, _ = env
+    data = tmp_path / "TVQA"
+    data.mkdir()
+    n = 6
+    rng = np.random.default_rng(0)
+    base = {
+        "video_id": [f"t{i % 2}" for i in range(n)],
+        "start": [0.0] * n,
+        "end": [8.0] * n,
+        "question": ["what happens"] * n,
+        **{f"a{k}": [f"a cat runs {k}"] * n for k in range(5)},
+        "qid": list(range(n)),
+    }
+    pd.DataFrame({**base, "answer_id": [i % 5 for i in range(n)]}).to_csv(
+        data / "val.csv", index=False)
+    pd.DataFrame({**base, "answer_id": [-1] * n}).to_csv(
+        data / "test.csv", index=False)
+    feats = {f"t{i}": rng.normal(size=(10, 16)).astype(np.float32) for i in range(2)}
+    PackedFeatureStore.write(str(data / "feats"), feats, dim=16)
+    pickle.dump({f"t{i}": [{"start": 0.0, "end": 4.0, "text": "the speech"}]
+                 for i in range(2)}, open(data / "subtitles.pkl", "wb"))
+
+    save = tmp_path / "out"
+    args = get_args_parser().parse_args(_common(model_dir) + [
+        "--combine_datasets", "tvqa", "--combine_datasets_val", "tvqa",
+        "--tvqa_train_csv_path", str(data / "val.csv"),
+        "--tvqa_val_csv_path", str(data / "val.csv"),
+        "--tvqa_test_csv_path", str(data / "test.csv"),
+        "--tvqa_features_path", str(data / "feats"),
+        "--tvqa_subtitles_path", str(data / "subtitles.pkl"),
+        "--eval", "--test", "--save_dir", str(save),
+    ])
+    main(args)
+    results = json.load(open(save / "tvqa.json"))
+    assert len(results) == n
+    assert all(isinstance(v, int) and 0 <= v < 5 for v in results.values())
