@@ -123,3 +123,68 @@ def test_encode_rejects_prompts_without_mask():
         _check_one_mask(ids, mask_token_id=4)
     _check_one_mask(ids[:1], mask_token_id=4)  # one mask -> ok
     _check_one_mask(ids, mask_token_id=None)  # AR tokenizers have no mask
+
+
+def test_ivqa_soft_label_eval(task_env, tmp_path):
+    """iVQA 5-annotator soft labels through the full driver: soft gt vectors
+    (counts/2 clamped to 1), acc = max agreement over top-k (reference
+    videoqa.py:72-75, 178-195)."""
+    import pickle
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.data.features import PackedFeatureStore
+    from frozenbilm_tpu.tasks.videoqa import main
+
+    root, model_dir, _ = task_env
+    data = tmp_path / "iVQA"
+    data.mkdir()
+    n = 8
+    answers = ["cat", "dog", "bird", "park"]
+    rows = {
+        "video_id": [f"w{i % 2}" for i in range(n)],
+        "question": ["what is this"] * n,
+        # 2 annotators agree on one answer (double weight), others disagree
+        "answer1": [answers[i % 4] for i in range(n)],
+        "answer2": [answers[i % 4] for i in range(n)],
+        "answer3": [answers[(i + 1) % 4] for i in range(n)],
+        "answer4": [answers[(i + 2) % 4] for i in range(n)],
+        "answer5": [answers[(i + 3) % 4] for i in range(n)],
+    }
+    import numpy as np
+    import pandas as pd
+
+    for split in ("train", "val", "test"):
+        pd.DataFrame(rows).to_csv(data / f"{split}.csv", index=False)
+    json.dump({a: i for i, a in enumerate(answers)}, open(data / "vocab.json", "w"))
+    rng = np.random.default_rng(1)
+    feats = {f"w{i}": rng.normal(size=(7, 16)).astype(np.float32) for i in range(2)}
+    PackedFeatureStore.write(str(data / "clipvitl14"), feats, dim=16)
+    pickle.dump({}, open(data / "subtitles.pkl", "wb"))
+
+    save = tmp_path / "ivqa_out"
+    args = get_args_parser().parse_args([
+        "--combine_datasets", "ivqa", "--combine_datasets_val", "ivqa",
+        "--model_name", "bert-base-uncased",
+        "--tokenizer_path", str(model_dir),
+        "--ivqa_features_path", str(data / "clipvitl14"),
+        "--ivqa_train_csv_path", str(data / "train.csv"),
+        "--ivqa_val_csv_path", str(data / "val.csv"),
+        "--ivqa_test_csv_path", str(data / "test.csv"),
+        "--ivqa_vocab_path", str(data / "vocab.json"),
+        "--ivqa_subtitles_path", str(data / "subtitles.pkl"),
+        "--features_dim", "16", "--max_feats", "5", "--max_tokens", "24",
+        "--batch_size_val", "4", "--print_freq", "1",
+        "--eval", "--test", "--save_dir", str(save),
+    ])
+    main(args)
+    results = json.load(open(save / "ivqa.json"))
+    assert len(results) == n
+    first = next(iter(results.values()))
+    # soft gt: a count vector over the 4-answer vocab, double-weighted answer
+    assert isinstance(first["gt"], list) and len(first["gt"]) == 4
+    assert max(first["gt"]) == 1.0  # 2 annotators -> count 2/2 clamped to 1
+    summary = json.load(open(save / "ivqasummary.json"))
+    # every question's gt covers 4 distinct answers; top-10 == all 4 -> acc10
+    # equals the max agreement value (1.0 for the double-weighted answer)
+    assert summary["acc10"] == 1.0
+    assert 0.0 <= summary["acc1"] <= 1.0
