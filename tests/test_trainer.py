@@ -154,3 +154,27 @@ def test_lr_schedule_matches_reference():
         misc.adjust_learning_rate(opt, step, 100, Args)
         ref_lr_after = opt.param_groups[0]["lr"]
         np.testing.assert_allclose(float(sched(step + 1)), ref_lr_after, rtol=1e-6)
+
+
+def test_dist_helpers_single_process():
+    """Single-process semantics of the multi-host helpers: init is a no-op
+    ('Not using distributed mode', reference dist.py:218-221), gathers and
+    reductions are identities, loader shards are 1/0."""
+    import jax
+
+    from frozenbilm_tpu.parallel.mesh import (
+        fetch_local_rows,
+        host_gather_results,
+        init_distributed,
+        loader_shard_kwargs,
+        reduce_metrics,
+        sync_global_devices,
+    )
+
+    assert init_distributed(verbose=False) is False
+    assert loader_shard_kwargs() == {"num_shards": 1, "shard_index": 0}
+    assert host_gather_results({"q": 1}) == {"q": 1}
+    assert reduce_metrics({"loss": 2.5}) == {"loss": 2.5}
+    sync_global_devices("noop")
+    x = jnp.arange(6).reshape(3, 2)
+    np.testing.assert_array_equal(fetch_local_rows(None, x), np.asarray(x))
