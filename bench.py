@@ -127,9 +127,23 @@ def bench_deberta(small: bool):
                      + 4 * S * h + 8 * h * cfg.position_buckets)
     flops1 = B * (S * L_layers * per_tok_layer + 2 * h * n_ans)
     dt = timed(loop, params, ids, am, video, vm)
-    return {"qa_pairs_per_sec": B * iters / dt,
-            "tflops": flops1 * iters / dt / 1e12,
-            "flops_per_item": flops1 / B}
+    out = {"qa_pairs_per_sec": B * iters / dt,
+           "tflops": flops1 * iters / dt / 1e12,
+           "flops_per_item": flops1 / B}
+
+    # W8A8 variant (ops/quant.py): frozen projections on the int8 MXU path
+    # (2x the bf16 peak on v5e). Reported as an extra; bf16 stays primary.
+    try:
+        from frozenbilm_tpu.ops.quant import quantize_tree
+
+        qparams = jax.jit(quantize_tree)(params)
+        dt_q = timed(loop, qparams, ids, am, video, vm)
+        out["int8"] = {"qa_pairs_per_sec": B * iters / dt_q,
+                       "tflops": flops1 * iters / dt_q / 1e12,
+                       "speedup_vs_bf16": dt / dt_q}
+    except Exception as e:  # record, never fail the primary bench
+        out["int8"] = {"error": repr(e)[:300]}
+    return out
 
 
 def bench_clip(small: bool):
@@ -315,6 +329,17 @@ def main():
                 "tflops": round(deberta["tflops"], 2),
                 "mfu": mfu(deberta["tflops"]),
             },
+            "deberta_xl_eval_int8": (
+                {
+                    "qa_pairs_per_sec": round(deberta["int8"]["qa_pairs_per_sec"], 2),
+                    "tflops": round(deberta["int8"]["tflops"], 2),
+                    # int8 MXU peak is 2x bf16 on v5e/v5p/v6e
+                    "mfu_int8": (mfu(deberta["int8"]["tflops"] / 2.0)),
+                    "speedup_vs_bf16": round(deberta["int8"]["speedup_vs_bf16"], 3),
+                }
+                if "error" not in deberta["int8"]
+                else deberta["int8"]
+            ),
             "clip_vitl14_extract": {
                 "frames_per_sec": round(clip["frames_per_sec"], 2),
                 "tflops": round(clip["tflops"], 2),

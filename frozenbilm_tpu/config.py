@@ -385,6 +385,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")
+    parser.add_argument("--quantize", default="none", choices=["none", "w8a8"],
+                        help="int8-quantize frozen linear layers for eval "
+                             "(W8A8 on the MXU; inference-only, see ops/quant.py)")
     parser.add_argument("--length_buckets", default="",
                         help="comma-separated token-length buckets for padding; "
                              "empty = single bucket at max_tokens")

@@ -47,6 +47,10 @@ def layer_norm_init(dim: int):
 
 
 def linear(p, x: jax.Array) -> jax.Array:
+    if "kernel_q" in p:  # W8A8-quantized frozen layer (ops/quant.py)
+        from frozenbilm_tpu.ops.quant import linear_w8a8
+
+        return linear_w8a8(p, x)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"]

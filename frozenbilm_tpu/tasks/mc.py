@@ -204,6 +204,8 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
 
 
 def main(args):
+    if args.quantize != "none" and not args.eval:
+        raise ValueError("--quantize is inference-only; combine with --eval")
     init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -244,9 +246,13 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
-    from frozenbilm_tpu.train.partition import apply_param_dtype
+    from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    if args.quantize != "none":
+        if not args.eval:
+            raise ValueError("--quantize is inference-only; combine with --eval")
+        params = apply_quantization(params, bundle.vt, args.quantize)
 
     # answer embeddings <- {Yes, No} token embeddings (mc.py:280-305)
     a2tok = answers_to_token_ids(tokenizer, ["Yes", "No"], args.max_atokens)

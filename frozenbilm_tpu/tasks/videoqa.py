@@ -264,6 +264,8 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
 
 
 def main(args):
+    if args.quantize != "none" and not args.eval:
+        raise ValueError("--quantize is inference-only; combine with --eval")
     init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -314,9 +316,13 @@ def main(args):
             print("loading from", args.load)
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
-    from frozenbilm_tpu.train.partition import apply_param_dtype
+    from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    if args.quantize != "none":
+        if not args.eval:
+            raise ValueError("--quantize is inference-only; combine with --eval")
+        params = apply_quantization(params, bundle.vt, args.quantize)
 
     mesh = None
     if jax.device_count() > 1:

@@ -155,6 +155,8 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
 
 def main(args):
+    if args.quantize != "none" and not args.eval:
+        raise ValueError("--quantize is inference-only; combine with --eval")
     init_distributed()
     assert args.eval, "AR VideoQA is eval-only (videoqa_ar.py:194-195)"
     if is_main_process() and args.save_dir:
@@ -183,9 +185,16 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
-    from frozenbilm_tpu.train.partition import apply_param_dtype
+    from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    if args.quantize != "none":
+        if not args.eval:
+            raise ValueError("--quantize is inference-only; combine with --eval")
+        if args.mesh_model > 1:
+            raise ValueError("--quantize with tensor parallelism is not "
+                             "supported yet (TP specs address 'kernel' leaves)")
+        params = apply_quantization(params, bundle.vt, args.quantize)
 
     if args.mesh_model > 1 and jax.device_count() >= args.mesh_model:
         # Megatron-style tensor parallelism over the 'model' mesh axis —

@@ -112,3 +112,21 @@ def apply_param_dtype(params: Dict, vt: VideoTextConfig, dtype_name: str) -> Dic
         return p
 
     return jax.tree.map(cast, params, mask)
+
+
+def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str) -> Dict:
+    """--quantize hook: int8-quantize the frozen linear kernels (eval only).
+
+    Runs the whole tree transform in ONE jit call — per-leaf dispatch over
+    the remote-TPU tunnel is minutes-slow for the 0.9B tree (CLAUDE.md).
+    """
+    if mode in ("", "none"):
+        return params
+    if mode != "w8a8":
+        raise ValueError(f"unknown --quantize mode {mode!r}")
+    import jax
+
+    from frozenbilm_tpu.ops.quant import quantize_tree
+
+    mask = trainable_mask(params, vt)
+    return jax.jit(lambda p: quantize_tree(p, mask))(params)

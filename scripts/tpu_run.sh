@@ -1,11 +1,14 @@
 #!/bin/bash
 # Run a python command on the real chip, waiting out the axon claim-release
-# lag (the tunnel rejects new processes for ~1-3 min after the previous one).
-for i in $(seq 1 20); do
+# lag (minutes) or outage (round 2 saw multi-hour ones). Attempts and sleep
+# are overridable: TPU_RUN_ATTEMPTS (default 20), TPU_RUN_SLEEP (default 45s).
+ATTEMPTS="${TPU_RUN_ATTEMPTS:-20}"
+SLEEP="${TPU_RUN_SLEEP:-45}"
+for i in $(seq 1 "$ATTEMPTS"); do
   if PYTHONPATH=/root/repo python "$@"; then
     exit 0
   fi
-  echo "[tpu_run] attempt $i failed; waiting for chip claim release..." >&2
-  sleep 45
+  echo "[tpu_run] attempt $i/$ATTEMPTS failed; waiting for chip claim release..." >&2
+  sleep "$SLEEP"
 done
 exit 1

@@ -1,0 +1,136 @@
+"""W8A8 int8 quantization (ops/quant.py): numeric fidelity of the int8
+linear, tree-transform scoping (frozen-only, exclusions, stacked scan
+layers), end-to-end DeBERTa logit fidelity vs the f32 path, and driver
+wiring (--quantize is eval-only). TPU-native extension — the reference has
+no quantized path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
+from frozenbilm_tpu.models.common import linear
+from frozenbilm_tpu.ops.quant import (
+    is_quantized,
+    linear_w8a8,
+    quantize_linear_params,
+    quantize_tree,
+)
+
+
+def test_linear_w8a8_matches_f32_linear():
+    rng = np.random.default_rng(0)
+    p = {"kernel": jnp.asarray(rng.normal(size=(256, 512)), jnp.float32) * 0.05,
+         "bias": jnp.asarray(rng.normal(size=(512,)), jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    ref = linear(p, x)
+    out = linear_w8a8(quantize_linear_params(p), x)
+    # per-channel weight + per-row activation int8: ~1e-2 relative error
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_linear_dispatches_on_quantized_params():
+    rng = np.random.default_rng(1)
+    p = {"kernel": jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)}
+    q = quantize_linear_params(p)
+    assert q["kernel_q"].dtype == jnp.int8
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(linear(q, x)),
+                               np.asarray(linear_w8a8(q, x)))
+
+
+def test_stacked_scan_kernels_get_per_layer_scales():
+    rng = np.random.default_rng(2)
+    # layer 1's kernel is 100x larger; a shared scale would crush layer 0
+    w = rng.normal(size=(2, 96, 64)).astype(np.float32)
+    w[1] *= 100.0
+    q = quantize_linear_params({"kernel": jnp.asarray(w)})
+    assert q["kernel_q"].shape == (2, 96, 64)
+    assert q["scale"].shape == (2, 64)
+    deq = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["scale"])[:, None, :]
+    rel = np.linalg.norm(deq - w) / np.linalg.norm(w)
+    assert rel < 0.01, rel
+
+
+def _toy_deberta(hidden=128, n_ans=11):
+    from frozenbilm_tpu.models import deberta as m
+
+    cfg = DebertaV2Config(
+        vocab_size=120, hidden_size=hidden, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=2 * hidden,
+        max_position_embeddings=64, position_buckets=8,
+        max_relative_positions=-1, relative_attention=True,
+        pos_att_type=("p2c", "c2p"), norm_rel_ebd="layer_norm",
+        type_vocab_size=0, pad_token_id=0, layer_norm_eps=1e-7,
+    )
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=4,
+                         ds_factor_ff=4, n_ans=n_ans)
+    params = m.init_deberta_params(jax.random.PRNGKey(0), cfg, vt)
+    rng = np.random.default_rng(3)
+    a2tok = rng.integers(5, cfg.vocab_size, size=(n_ans, 5))
+    a2tok[:, 3:] = 0
+    params = m.set_answer_embeddings(params, a2tok, pad_token_id=cfg.pad_token_id)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(2, 12)))
+    am = jnp.ones((2, 12), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
+    vm = jnp.ones((2, 4), jnp.int32)
+    return m, cfg, vt, params, (ids, am, video, vm)
+
+
+def test_quantize_tree_scopes_to_frozen_linears():
+    from frozenbilm_tpu.train.partition import trainable_mask
+
+    m, cfg, vt, params, _ = _toy_deberta()
+    mask = trainable_mask(params, vt)
+    q = quantize_tree(params, mask, min_features=64)
+    assert is_quantized(q) and not is_quantized(params)
+    layers = q["encoder"]["layers"]
+    self_p = layers["attention"]["self"]
+    assert self_p["query_proj"]["kernel_q"].dtype == jnp.int8
+    assert self_p["query_proj"]["scale"].shape == (cfg.num_hidden_layers, cfg.hidden_size)
+    # trainable leaves keep full precision
+    adapter = layers["attention"]["output"]["adapter"]
+    assert not is_quantized(adapter)
+    assert "kernel" in q["embeddings"]["linear_video"]
+    # answer module untouched (no 'kernel' dicts)
+    assert not is_quantized(q.get("answers", {}))
+
+
+def test_quantized_deberta_forward_tracks_f32():
+    m, cfg, vt, params, (ids, am, video, vm) = _toy_deberta()
+    from frozenbilm_tpu.train.partition import apply_quantization
+
+    qparams = apply_quantization(params, vt, "w8a8")
+
+    def answer_logits(p):
+        out = m.deberta_forward(p, cfg, vt, ids, am, video, vm, mlm=False)
+        h = out.last_hidden_state[:, vt.max_feats + 3]
+        return m.deberta_answer_logits(p, cfg, h)
+
+    ref = np.asarray(answer_logits(params))
+    got = np.asarray(answer_logits(qparams))
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_array_equal(ref.argmax(-1), got.argmax(-1))
+
+
+def test_apply_quantization_none_is_identity():
+    from frozenbilm_tpu.train.partition import apply_quantization
+
+    m, cfg, vt, params, _ = _toy_deberta()
+    assert apply_quantization(params, vt, "none") is params
+    with pytest.raises(ValueError):
+        apply_quantization(params, vt, "int4")
+
+
+def test_driver_rejects_quantize_without_eval(tmp_path):
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks import videoqa as task
+
+    args = get_args_parser().parse_args(
+        ["--combine_datasets", "msvd", "--combine_datasets_val", "msvd",
+         "--quantize", "w8a8", "--save_dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="inference-only"):
+        task.main(args)
