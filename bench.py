@@ -188,9 +188,20 @@ def bench_clip(small: bool):
     flops1 = B * (n_tok * L * (24 * h * h + 4 * n_tok * h) + conv
                   + 2 * h * cfg.projection_dim)
     dt = timed(loop, params, pixels)
-    return {"frames_per_sec": B * iters / dt,
-            "tflops": flops1 * iters / dt / 1e12,
-            "flops_per_item": flops1 / B}
+    out = {"frames_per_sec": B * iters / dt,
+           "tflops": flops1 * iters / dt / 1e12,
+           "flops_per_item": flops1 / B}
+    try:
+        from frozenbilm_tpu.ops.quant import quantize_tree
+
+        qparams = jax.jit(quantize_tree)(params)
+        dt_q = timed(loop, qparams, pixels)
+        out["int8"] = {"frames_per_sec": B * iters / dt_q,
+                       "tflops": flops1 * iters / dt_q / 1e12,
+                       "speedup_vs_bf16": dt / dt_q}
+    except Exception as e:
+        out["int8"] = {"error": repr(e)[:300]}
+    return out
 
 
 def bench_ar_scoring(small: bool):
@@ -345,6 +356,16 @@ def main():
                 "tflops": round(clip["tflops"], 2),
                 "mfu": mfu(clip["tflops"]),
             },
+            "clip_vitl14_extract_int8": (
+                {
+                    "frames_per_sec": round(clip["int8"]["frames_per_sec"], 2),
+                    "tflops": round(clip["int8"]["tflops"], 2),
+                    "mfu_int8": mfu(clip["int8"]["tflops"] / 2.0),
+                    "speedup_vs_bf16": round(clip["int8"]["speedup_vs_bf16"], 3),
+                }
+                if "error" not in clip["int8"]
+                else clip["int8"]
+            ),
             "gptneo13_ar_scoring": {
                 "answers_per_sec": round(ar["answers_per_sec"], 2),
                 "tflops": round(ar["tflops"], 2),

@@ -48,6 +48,9 @@ def get_parser():
                         help="CLIP weights: OpenAI/HF .pt(h)/.bin or empty "
                              "for random init (smoke tests)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--quantize", default="none", choices=["none", "w8a8"],
+                        help="int8-quantize the CLIP tower's linear layers "
+                             "(W8A8 on the MXU; ops/quant.py)")
     return parser
 
 
@@ -114,6 +117,14 @@ def main(args):
     csv = pd.read_csv(args.csv)
     cfg = CLIPVisionConfig(image_size=args.size, projection_dim=args.feature_dim)
     params = load_clip_vision(args.clip_weights, cfg)
+    if args.quantize != "none":
+        import jax
+
+        from frozenbilm_tpu.ops.quant import quantize_tree
+
+        # extraction is pure frozen inference: quantize every eligible linear
+        # (patch_embed / final proj are excluded inside quantize_tree)
+        params = jax.jit(quantize_tree)(params)
     encode_video = make_encoder(cfg, params, args.batch_size, bool(args.l2_normalize))
 
     todo = []

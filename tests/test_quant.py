@@ -116,6 +116,26 @@ def test_quantized_deberta_forward_tracks_f32():
     np.testing.assert_array_equal(ref.argmax(-1), got.argmax(-1))
 
 
+def test_quantized_clip_vision_tracks_f32():
+    """Extraction-path quantization: the tower quantizes, the directly-read
+    patch_embed / proj kernels stay intact, outputs track f32."""
+    from frozenbilm_tpu.config import CLIPVisionConfig
+    from frozenbilm_tpu.models.clip import clip_encode_image, init_clip_vision_params
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=7, hidden_size=128,
+                           num_layers=2, num_heads=4, projection_dim=32)
+    params = init_clip_vision_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_tree(params)
+    assert is_quantized(q)
+    assert "kernel" in q["patch_embed"] and "kernel" in q["proj"]
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
+    ref = np.asarray(clip_encode_image(params, cfg, pixels))
+    got = np.asarray(clip_encode_image(q, cfg, pixels))
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
 def test_apply_quantization_none_is_identity():
     from frozenbilm_tpu.train.partition import apply_quantization
 
