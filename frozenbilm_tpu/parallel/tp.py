@@ -32,18 +32,22 @@ def _gpt_spec_for(path_names, leaf) -> P:
         return P(*(lead + dims))
 
     joined = "/".join(names)
-    # column-parallel: shard the output features
+    # column-parallel: shard the output features ('kernel' matches the int8
+    # 'kernel_q' too; per-out-channel quant 'scale' shards with the bias)
     if any(f"{n}/kernel" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")):
         return spec(None, MODEL_AXIS)
-    if any(f"{n}/bias" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")):
+    if any(f"{n}/{v}" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")
+           for v in ("bias", "scale")):
         return spec(MODEL_AXIS)
-    # row-parallel: shard the input features; bias replicated
+    # row-parallel: shard the input features; bias/scale replicated (the
+    # dynamic activation abs-max over the sharded feature dim becomes a
+    # GSPMD max all-reduce, so every shard quantizes identically)
     if any(f"{n}/kernel" in joined for n in ("out_proj", "fc_out", "c_proj")):
         return spec(MODEL_AXIS, None)
     # vocab head: shard the vocabulary dim
-    if names[:1] == ["lm_head"] and names[-1] == "kernel":
+    if names[:1] == ["lm_head"] and names[-1] in ("kernel", "kernel_q"):
         return P(None, MODEL_AXIS)
-    if names[:1] == ["lm_head"] and names[-1] == "bias":
+    if names[:1] == ["lm_head"] and names[-1] in ("bias", "scale"):
         return P(MODEL_AXIS)
     if names[:1] == ["wte"]:
         return P(None, None)

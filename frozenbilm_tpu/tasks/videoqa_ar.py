@@ -191,9 +191,6 @@ def main(args):
     if args.quantize != "none":
         if not args.eval:
             raise ValueError("--quantize is inference-only; combine with --eval")
-        if args.mesh_model > 1:
-            raise ValueError("--quantize with tensor parallelism is not "
-                             "supported yet (TP specs address 'kernel' leaves)")
         params = apply_quantization(params, bundle.vt, args.quantize)
 
     if args.mesh_model > 1 and jax.device_count() >= args.mesh_model:

@@ -136,6 +136,39 @@ def test_quantized_clip_vision_tracks_f32():
     assert corr > 0.999, corr
 
 
+def test_quantized_gptj_under_tp_matches_single_device():
+    """W8A8 + tensor parallelism: column-parallel kernel_q/scale shard over
+    'model', row-parallel activation abs-max becomes a GSPMD max all-reduce
+    — logits must match the single-device quantized forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from frozenbilm_tpu.config import GPTJConfig
+    from frozenbilm_tpu.models.gptj import gptj_forward, init_gptj_params
+    from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh
+    from frozenbilm_tpu.parallel.tp import gpt_param_specs, shard_params
+
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    cfg = GPTJConfig(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+                     rotary_dim=4, max_position_embeddings=64)
+    params = init_gptj_params(jax.random.PRNGKey(0), cfg, vt)
+    qparams = quantize_tree(params, min_features=8)  # force at toy scale
+    assert is_quantized(qparams)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 128, size=(4, 8)))
+    am = jnp.ones((4, 8), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(4, 4, 16)), jnp.float32)
+    vm = jnp.ones((4, 4), jnp.int32)
+    ref = np.asarray(gptj_forward(qparams, cfg, vt, ids, am, video, vm).logits)
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    sharded = shard_params(mesh, qparams, gpt_param_specs(qparams))
+    data_sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, data_sh) for x in (ids, am, video, vm)]
+    got = np.asarray(gptj_forward(sharded, cfg, vt, *args).logits)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_apply_quantization_none_is_identity():
     from frozenbilm_tpu.train.partition import apply_quantization
 
