@@ -258,6 +258,104 @@ def bench_ar_scoring(small: bool):
             "flops_per_item": flops1 / rows}
 
 
+def _random_tree_like(key, shapes_tree, dtype_map):
+    """Fill an eval_shape tree with random leaves WITHOUT materializing the
+    f32 init (a 6B f32 tree is 24GB — over the 16GB v5e HBM; direct bf16 is
+    12GB). dtype_map(leaf_shapestruct) -> target dtype; weight values are
+    irrelevant to throughput (static shapes, no data-dependent control flow)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
+
+    @jax.jit
+    def mk(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, s in zip(keys, leaves):
+            dt = dtype_map(s)
+            if jnp.issubdtype(dt, jnp.integer):
+                out.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int32)
+                           .astype(dt))
+            else:
+                out.append(jax.random.normal(k, s.shape, dt) * 0.02)
+        return treedef.unflatten(out)
+
+    return mk(key)
+
+
+def bench_gptj6b(small: bool):
+    """GPT-J-6B teacher-forced AR scoring on ONE chip: bf16 (12GB weights,
+    fits v5e's 16GB HBM) and W8A8 (6GB). Opt-in via FROZENBILM_BENCH_6B=1 —
+    the reference needs multi-GPU layer sharding for this model
+    (gptj.py:421-454); one v5e chip serves it outright."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTJConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptj import gptj_score, init_gptj_params
+    from frozenbilm_tpu.ops.quant import quantize_tree
+
+    if small:
+        cfg = GPTJConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                         num_heads=4, rotary_dim=8, max_position_embeddings=128)
+        rows, T, F, tgt_len, iters, feat_dim = 4, 16, 4, 3, 2, 32
+    else:
+        cfg = GPTJConfig()  # gpt-j-6B
+        rows, T, F, tgt_len, iters, feat_dim = 32, 64, 10, 4, 2, 768
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    shapes = jax.eval_shape(
+        lambda k: init_gptj_params(k, cfg, vt), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(rows, T)))
+    am = jnp.ones((rows, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(rows, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((rows, F), jnp.int32)
+    targets = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(rows, tgt_len)))
+
+    def one(params, ids, am, video, vm, targets):
+        return gptj_score(params, cfg, vt, video=video, video_mask=vm,
+                          input_ids=ids, attention_mask=am, target_ids=targets)
+
+    @jax.jit
+    def loop(params, ids, am, video, vm, targets):
+        def body(i, acc):
+            ids_i = (ids + i) % cfg.vocab_size
+            return acc + one(params, ids_i, am, video, vm, targets).mean()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    h, L = cfg.hidden_size, cfg.num_layers
+    inter = cfg.effective_intermediate_size
+    seq = F + T + tgt_len
+    flops1 = rows * (seq * L * (8 * h * h + 4 * h * inter + 4 * seq * h)
+                     + 2 * seq * h * cfg.vocab_size)
+    out = {}
+    for name in ("bf16", "int8"):
+        if name == "bf16":
+            params = _random_tree_like(
+                jax.random.PRNGKey(1), shapes, lambda s: jnp.bfloat16)
+        else:
+            qshapes = jax.eval_shape(lambda p: quantize_tree(p), shapes)
+            params = _random_tree_like(
+                jax.random.PRNGKey(2), qshapes,
+                lambda s: s.dtype if s.dtype == jnp.int8 else jnp.bfloat16)
+        try:
+            dt = timed(loop, params, ids, am, video, vm, targets)
+            out[name] = {"answers_per_sec": rows * iters / dt,
+                         "tflops": flops1 * iters / dt / 1e12}
+        except Exception as e:
+            out[name] = {"error": repr(e)[:300]}
+        del params
+        gc.collect()
+    return out
+
+
 def bench_greedy_decode(small: bool):
     """KV-cache greedy decode throughput (gptneo_greedy_cached): one prefill
     + N single-token scan steps. Decode is HBM-bandwidth-bound (every step
@@ -317,6 +415,8 @@ def main():
     clip = bench_clip(small)
     ar = bench_ar_scoring(small)
     decode = bench_greedy_decode(small)
+    gptj6b = (bench_gptj6b(small)
+              if os.environ.get("FROZENBILM_BENCH_6B", "") == "1" else None)
 
     qa_per_sec = deberta["qa_pairs_per_sec"]
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -375,6 +475,12 @@ def main():
                 "tokens_per_sec": round(decode["tokens_per_sec"], 2),
                 "decode_steps_per_sec": round(decode["decode_steps_per_sec"], 2),
             },
+            **({"gptj6b_ar_scoring": {
+                v: ({"answers_per_sec": round(r["answers_per_sec"], 2),
+                     "tflops": round(r["tflops"], 2),
+                     "mfu": mfu(r["tflops"] / (2.0 if v == "int8" else 1.0))}
+                    if "error" not in r else r)
+                for v, r in gptj6b.items()}} if gptj6b else {}),
         },
     }))
 

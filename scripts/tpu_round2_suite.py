@@ -32,6 +32,9 @@ def main():
         print(json.dumps({"metric": "pretrain_input_pipeline",
                           "error": repr(e)[:500]}), flush=True)
 
+    import os
+
+    os.environ.setdefault("FROZENBILM_BENCH_6B", "1")  # 6B-on-one-chip leg
     import bench
 
     bench.main()
