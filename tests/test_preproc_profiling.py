@@ -134,10 +134,12 @@ def test_bench_small_schema(capsys):
     import bench
 
     os.environ["FROZENBILM_BENCH_SMALL"] = "1"
+    os.environ["FROZENBILM_BENCH_6B"] = "1"
     try:
         bench.main()
     finally:
         os.environ.pop("FROZENBILM_BENCH_SMALL", None)
+        os.environ.pop("FROZENBILM_BENCH_6B", None)
     line = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][-1]
     out = json.loads(line)
     assert out["metric"] == "deberta_xl_videoqa_eval_throughput"
@@ -146,6 +148,14 @@ def test_bench_small_schema(capsys):
     extra = out["extra"]
     for key in ("deberta_xl_eval", "clip_vitl14_extract", "gptneo13_ar_scoring"):
         assert extra[key]["tflops"] >= 0
+    # the W8A8 variants and the env-gated 6B leg must have run, not errored
+    for key in ("deberta_xl_eval_int8", "clip_vitl14_extract_int8"):
+        assert "error" not in extra[key], extra[key]
+        assert extra[key]["speedup_vs_bf16"] > 0
+    for variant in ("bf16", "int8"):
+        leg = extra["gptj6b_ar_scoring"][variant]
+        assert "error" not in leg, leg
+        assert leg["answers_per_sec"] > 0
 
 
 def test_pipeline_bench_small(capsys):
