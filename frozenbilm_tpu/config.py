@@ -385,6 +385,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")
+    parser.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
+                        help="native checkpoint serialization (load is "
+                             "auto-detected; orbax = per-leaf OCDBT storage)")
     parser.add_argument("--quantize", default="none", choices=["none", "w8a8"],
                         help="int8-quantize frozen linear layers for eval "
                              "(W8A8 on the MXU; inference-only, see ops/quant.py)")

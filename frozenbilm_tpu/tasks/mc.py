@@ -301,7 +301,8 @@ def main(args):
                         best_acc = acc
                         if is_main_process():
                             save_params(os.path.join(args.save_dir, "best_model"),
-                                        state.trainable, {"epoch": epoch, "acc": acc})
+                                        state.trainable, {"epoch": epoch, "acc": acc},
+                                        fmt=args.ckpt_format)
             if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
                 from frozenbilm_tpu.utils.checkpoint import overlay_into
 

@@ -228,7 +228,8 @@ def main(args):
             log_entry.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_dir and is_main_process():
                 ckpt_dir = os.path.join(args.save_dir, f"checkpoint{epoch:04}")
-                save_params(ckpt_dir, state.trainable, {"epoch": epoch})
+                save_params(ckpt_dir, state.trainable, {"epoch": epoch},
+                            fmt=args.ckpt_format)
                 from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
                 save_opt_state(ckpt_dir, state.opt_state)

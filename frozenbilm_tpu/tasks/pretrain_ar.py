@@ -161,7 +161,8 @@ def main(args):
             entry.update({f"val_{k}": v for k, v in run_eval().items()})
             if args.save_dir and is_main_process():
                 save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
-                            state.trainable, {"epoch": epoch})
+                            state.trainable, {"epoch": epoch},
+                            fmt=args.ckpt_format)
         log.append(entry)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:

@@ -398,11 +398,13 @@ def main(args):
                                 os.path.join(args.save_dir, "best_model"),
                                 state.trainable,
                                 {"epoch": epoch, "acc1": out["acc1"]},
+                                fmt=args.ckpt_format,
                             )
                     log_stats.append({"epoch": epoch, **{f"val_{k}": v for k, v in out.items()}})
                 if args.save_dir and is_main_process():
                     ckpt_dir = os.path.join(args.save_dir, "ckpt")
-                    save_params(ckpt_dir, state.trainable, {"epoch": epoch})
+                    save_params(ckpt_dir, state.trainable, {"epoch": epoch},
+                                fmt=args.ckpt_format)
                     from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
                     save_opt_state(ckpt_dir, state.opt_state)

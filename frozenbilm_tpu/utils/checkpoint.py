@@ -46,23 +46,53 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
-def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None) -> None:
+def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
+                fmt: str = "npz") -> None:
+    """Save a (possibly partitioned, None-pruned) param tree.
+
+    fmt="npz": one flat .npz — simple, portable, the default.
+    fmt="orbax": orbax PyTree checkpoint (--ckpt_format orbax) — the
+    production option: per-leaf OCDBT storage with sharding metadata,
+    suited to multi-host and very large trees.
+    """
     os.makedirs(path, exist_ok=True)
-    flat = _flatten(tree)
-    np.savez(os.path.join(path, "params.npz"), **flat)
+    if fmt == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        target = os.path.abspath(os.path.join(path, "params_orbax"))
+        if os.path.exists(target):  # mirror np.savez overwrite semantics
+            shutil.rmtree(target)
+        # prune None leaves (frozen/trainable partitions) into a plain dict
+        ocp.PyTreeCheckpointer().save(target, _unflatten(_flatten(tree)))
+    elif fmt == "npz":
+        np.savez(os.path.join(path, "params.npz"), **_flatten(tree))
+    else:
+        raise ValueError(f"unknown checkpoint format {fmt!r}")
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta or {}, f, default=str)
 
 
 def load_params(path: str) -> Tuple[Dict, Dict]:
-    with np.load(os.path.join(path, "params.npz")) as z:
-        flat = {k: z[k] for k in z.files}
+    """Load save_params output; the format is auto-detected."""
+    npz_path = os.path.join(path, "params.npz")
+    orbax_path = os.path.join(path, "params_orbax")
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            tree = _unflatten({k: z[k] for k in z.files})
+    elif os.path.exists(orbax_path):
+        import orbax.checkpoint as ocp
+
+        tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(orbax_path))
+    else:
+        raise FileNotFoundError(f"no params.npz or params_orbax under {path}")
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    return _unflatten(flat), meta
+    return tree, meta
 
 
 def save_opt_state(path: str, opt_state) -> None:

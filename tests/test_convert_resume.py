@@ -129,3 +129,30 @@ def test_pretrain_resume(tmp_path):
         base + ["--epochs", "2", "--load", str(ckpt), "--resume"]))
     # resumed run trains only epoch 1
     assert [e["epoch"] for e in log] == [1]
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """--ckpt_format orbax: None-pruned partition tree roundtrips through
+    the orbax backend; load_params auto-detects the format."""
+    import jax.numpy as jnp
+
+    from frozenbilm_tpu.utils.checkpoint import load_params, save_params
+
+    tree = {
+        "embeddings": {"linear_video": {"kernel": jnp.ones((4, 8), jnp.bfloat16),
+                                        "bias": jnp.zeros((8,))},
+                       "word_embeddings": None},  # frozen leaf, pruned
+        "encoder": {"layers": {"adapter": {"down": jnp.arange(6.0).reshape(2, 3)}}},
+    }
+    save_params(str(tmp_path / "ck"), tree, {"epoch": 3}, fmt="orbax")
+    back, meta = load_params(str(tmp_path / "ck"))
+    assert meta["epoch"] == 3
+    assert back["embeddings"]["linear_video"]["kernel"].dtype == jnp.bfloat16
+    assert "word_embeddings" not in back["embeddings"]
+    np.testing.assert_array_equal(
+        np.asarray(back["encoder"]["layers"]["adapter"]["down"]),
+        np.arange(6.0).reshape(2, 3))
+    # overwrite semantics match npz (second save replaces)
+    save_params(str(tmp_path / "ck"), tree, {"epoch": 4}, fmt="orbax")
+    _, meta2 = load_params(str(tmp_path / "ck"))
+    assert meta2["epoch"] == 4

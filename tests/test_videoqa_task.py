@@ -96,18 +96,22 @@ def test_finetune_one_epoch(task_env, tmp_path):
     from frozenbilm_tpu.tasks.videoqa import main
 
     save = tmp_path / "train_out"
+    # orbax checkpoints through the driver (load side auto-detects, so the
+    # best-model reload in main() exercises the orbax restore too)
     args = _args(task_env, ["--epochs", "2", "--lr", "5e-3",
-                            "--save_dir", str(save), "--suffix", "."])
+                            "--save_dir", str(save), "--suffix", ".",
+                            "--ckpt_format", "orbax"])
     stats = main(args)
+    assert os.path.isdir(save / "best_model" / "params_orbax")
     assert os.path.isdir(save / "best_model")
     assert os.path.exists(save / "log_stats.json")
     # trainable-only checkpoint stays small
-    import numpy as np
+    from frozenbilm_tpu.utils.checkpoint import load_params
 
-    with np.load(save / "best_model" / "params.npz") as z:
-        keys = list(z.files)
-    assert all("word_embeddings" not in k for k in keys)
-    assert any("linear_video" in k for k in keys)
+    tree, meta = load_params(str(save / "best_model"))
+    assert "word_embeddings" not in tree.get("embeddings", {})
+    assert "linear_video" in tree["embeddings"]
+    assert "acc1" in meta
 
 
 def test_encode_rejects_prompts_without_mask():
