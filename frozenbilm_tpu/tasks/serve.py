@@ -1,0 +1,259 @@
+"""Production QA serving: continuous-batching HTTP service over the jitted
+answer scorer.
+
+The reference stops at a single-video demo CLI (demo_videoqa.py:17-170);
+this is the deployment-shaped equivalent for TPU serving:
+
+  - the model is built/loaded ONCE (same checkpoint surface as the videoqa
+    driver: --load, --param_dtype, --quantize w8a8 for int8 MXU serving);
+  - requests (question [+ subtitles] [+ precomputed CLIP features]) land on
+    a queue; a batcher thread collects up to --batch_size_val requests
+    within a small window and pads to ONE static shape, so XLA compiles a
+    single serving program and every batch rides the same executable;
+  - answers come from the answer-vocabulary head at the [MASK] position
+    (videoqa.py:164-170 semantics), top-k with probabilities.
+
+Endpoints:
+  POST /qa      {"question": str, "subtitles": str?, "topk": int?,
+                 "video_features": [[f]*features_dim]*n_frames?}
+                -> {"answers": [{"answer": str, "prob": float}, ...]}
+  GET  /healthz -> {"status": "ok", "model": ..., "batch_size": ...}
+
+Run: python -m frozenbilm_tpu.tasks.serve --combine_datasets none \
+       --combine_datasets_val none --load ckpt --port 8000 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frozenbilm_tpu.config import get_args_parser
+from frozenbilm_tpu.data.features import subsample_or_pad
+from frozenbilm_tpu.data.prompts import normalize_question, videoqa_prompt
+from frozenbilm_tpu.data.tokenization import (
+    answers_to_token_ids,
+    encode_batch,
+    get_tokenizer,
+    strip_sep_tokens,
+)
+from frozenbilm_tpu.models import build_model
+from frozenbilm_tpu.tasks.videoqa import make_qa_steps
+from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
+
+
+class QAService:
+    """Model + tokenizer + ONE jitted fixed-shape scoring program."""
+
+    def __init__(self, args):
+        self.args = args
+        self.tokenizer = get_tokenizer(args)
+        vocab = json.load(open(args.msrvtt_vocab_path))
+        self.id2a = {y: x for x, y in vocab.items()}
+        args.n_ans = len(vocab)
+        bundle = build_model(args)
+        params = bundle.init_params(jax.random.PRNGKey(args.seed))
+        base_dir = args.tokenizer_path or os.path.join(
+            os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+        if os.path.isdir(base_dir):
+            try:
+                params = load_any_checkpoint(base_dir, params, bundle.cfg,
+                                             bundle.family)
+            except FileNotFoundError:
+                pass
+        if args.load:
+            params = load_any_checkpoint(args.load, params, bundle.cfg,
+                                         bundle.family)
+        answers = [a for a, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+        a2tok = answers_to_token_ids(self.tokenizer, answers, args.max_atokens)
+        params = bundle.set_answer_embeddings(params, a2tok)
+        params = jax.tree.map(jnp.asarray, params)
+        from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
+
+        params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+        params = apply_quantization(params, bundle.vt, args.quantize)
+        self.params = params
+        self.bundle = bundle
+        self.batch_size = args.batch_size_val
+        _, self._eval_step = make_qa_steps(
+            bundle, self.tokenizer.mask_token_id, "serve",
+            topk=min(10, len(vocab)))
+
+    def validate(self, payload: Dict) -> None:
+        """Reject malformed payloads BEFORE batching, so one bad request
+        can't fail the whole batch it rides in."""
+        if not isinstance(payload.get("question"), str) or not payload["question"]:
+            raise ValueError("missing 'question'")
+        feats = payload.get("video_features")
+        if feats is not None:
+            arr = np.asarray(feats, np.float32)
+            if arr.ndim != 2 or arr.shape[1] != self.args.features_dim:
+                raise ValueError(
+                    f"video_features must be (n_frames, {self.args.features_dim})")
+
+    def _encode(self, questions: List[str], subtitles: List[Optional[str]]):
+        texts = []
+        for q, sub in zip(questions, subtitles):
+            text = videoqa_prompt(normalize_question(q),
+                                  self.tokenizer.mask_token,
+                                  self.args.prefix, self.args.suffix)
+            if sub:
+                text = f"{text} Subtitles: {sub}"
+            texts.append(text)
+        enc = encode_batch(self.tokenizer, texts, self.args.max_tokens)
+        if not self.args.suffix and not self.args.use_context:
+            enc = strip_sep_tokens(enc, self.tokenizer.sep_token_id,
+                                   self.tokenizer.pad_token_id)
+        return enc
+
+    def score(self, requests: List[Dict]) -> List[List[Dict]]:
+        """Pad the request list to the static batch size, run one step."""
+        n = len(requests)
+        B = self.batch_size
+        reqs = requests + [requests[-1]] * (B - n)
+        enc = self._encode([r["question"] for r in reqs],
+                           [r.get("subtitles") for r in reqs])
+        F, D = self.args.max_feats, self.args.features_dim
+        video = np.zeros((B, F, D), np.float32)
+        vmask = np.zeros((B, F), np.int32)
+        for i, r in enumerate(reqs):
+            feats = r.get("video_features")
+            if feats:
+                arr = np.asarray(feats, np.float32).reshape(-1, D)
+                sub, vlen = subsample_or_pad(arr, F)
+                video[i], vmask[i, :vlen] = sub, 1
+        top_ids, top_p = self._eval_step(
+            self.params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]), jnp.asarray(video),
+            jnp.asarray(vmask))
+        top_ids, top_p = np.asarray(top_ids), np.asarray(top_p)
+        out = []
+        for i in range(n):
+            k = min(int(requests[i].get("topk", 5)), top_ids.shape[1])
+            out.append([{"answer": self.id2a[int(top_ids[i, j])],
+                         "prob": float(top_p[i, j])} for j in range(k)])
+        return out
+
+
+class _Batcher:
+    """Collects requests for up to `window_ms`, scores them in one batch."""
+
+    def __init__(self, service: QAService, window_ms: float = 5.0):
+        self.service = service
+        self.window_s = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, payload: Dict) -> Dict:
+        done = threading.Event()
+        slot = {"done": done}
+        self.q.put((payload, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _run(self):
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = self.window_s
+            while len(batch) < self.service.batch_size:
+                try:
+                    batch.append(self.q.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            payloads = [p for p, _ in batch]
+            try:
+                results = self.service.score(payloads)
+                for (_, slot), res in zip(batch, results):
+                    slot["result"] = {"answers": res}
+            except Exception as e:  # propagate per-request, keep serving
+                for _, slot in batch:
+                    slot["error"] = repr(e)
+            for _, slot in batch:
+                slot["done"].set()
+
+
+def make_handler(batcher: _Batcher, service: QAService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, obj: Dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "model": service.args.model_name,
+                                  "batch_size": service.batch_size,
+                                  "n_ans": len(service.id2a)})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/qa":
+                return self._reply(404, {"error": "not found"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except Exception as e:
+                return self._reply(400, {"error": f"bad JSON: {e!r}"})
+            try:
+                service.validate(payload)
+            except ValueError as e:
+                return self._reply(400, {"error": str(e)})
+            try:
+                self._reply(200, batcher.submit(payload))
+            except Exception as e:
+                self._reply(500, {"error": repr(e)})
+
+    return Handler
+
+
+def build_server(args) -> ThreadingHTTPServer:
+    service = QAService(args)
+    # warm the compile before accepting traffic
+    service.score([{"question": "what is happening?", "topk": 1}])
+    batcher = _Batcher(service, window_ms=args.serve_window_ms)
+    server = ThreadingHTTPServer((args.serve_host, args.port),
+                                 make_handler(batcher, service))
+    return server
+
+
+def get_serve_parser():
+    import argparse
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--serve_host", default="0.0.0.0")
+    parser.add_argument("--serve_window_ms", type=float, default=5.0,
+                        help="batching window: wait this long to fill a batch")
+    return parser
+
+
+def main(args):
+    server = build_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port} (batch {args.batch_size_val}, "
+          f"window {args.serve_window_ms}ms)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main(get_serve_parser().parse_args())
