@@ -82,6 +82,10 @@ def main(args):
     tokenizer = get_clip_tokenizer(args)
     text_cfg = CLIPTextConfig(projection_dim=args.features_dim)
     text_params = load_clip_text_params(args, text_cfg)
+    if args.quantize != "none":
+        from frozenbilm_tpu.ops.quant import quantize_tree
+
+        text_params = jax.jit(quantize_tree)(text_params)
 
     nt = namedtuple("data", ["dataset_name", "loader_test", "dataset"])
     tuples = []

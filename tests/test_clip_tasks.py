@@ -98,6 +98,13 @@ def test_videoqa_clip_baseline(clip_env, tmp_path, monkeypatch):
     assert 0.0 <= summary["acc1"] <= summary["acc10"] <= 1.0
     assert len(json.load(open(save / "msvd.json"))) == 4
 
+    # quantized text tower rides the same driver (--quantize w8a8)
+    save_q = tmp_path / "out_q"
+    args_q = _clip_args(tok_dir, data, ["--save_dir", str(save_q),
+                                        "--quantize", "w8a8"])
+    task.main(args_q)
+    assert 0.0 <= json.load(open(save_q / "msvdsummary.json"))["acc1"] <= 1.0
+
 
 def test_mc_clip_baseline(clip_env, tmp_path, monkeypatch):
     import frozenbilm_tpu.tasks.mc_clip as task
