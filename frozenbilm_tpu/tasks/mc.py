@@ -246,9 +246,11 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
-    from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
+    from frozenbilm_tpu.train.partition import (
+        apply_param_dtype, apply_quantization, reject_quantized_for_training)
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    reject_quantized_for_training(params, args.eval)
     if args.quantize != "none":
         if not args.eval:
             raise ValueError("--quantize is inference-only; combine with --eval")

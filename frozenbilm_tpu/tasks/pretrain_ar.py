@@ -99,9 +99,11 @@ def main(args):
     if args.load:
         params = load_any_checkpoint(args.load, params, bundle.cfg, bundle.family)
     params = jax.tree.map(jnp.asarray, params)
-    from frozenbilm_tpu.train.partition import apply_param_dtype
+    from frozenbilm_tpu.train.partition import (
+        apply_param_dtype, reject_quantized_for_training)
 
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    reject_quantized_for_training(params, args.eval)
 
     mesh = None
     if jax.device_count() > 1:

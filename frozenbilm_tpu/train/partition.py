@@ -130,3 +130,17 @@ def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str) -> Dict:
 
     mask = trainable_mask(params, vt)
     return jax.jit(lambda p: quantize_tree(p, mask))(params)
+
+
+def reject_quantized_for_training(params: Dict, eval_mode: bool) -> None:
+    """Pre-quantized checkpoints (scripts/convert.py --quantize) are
+    eval-only: int8 round/clip has a zero VJP, so training through them
+    would silently produce zero gradients for every upstream adapter."""
+    if eval_mode:
+        return
+    from frozenbilm_tpu.ops.quant import is_quantized
+
+    if is_quantized(params):
+        raise ValueError(
+            "loaded checkpoint contains W8A8 int8 kernels (eval-only); "
+            "re-export without --quantize to train")

@@ -126,7 +126,13 @@ def overlay_into(template: Dict, loaded: Dict) -> Dict:
     def rec(dst, src):
         for k, v in src.items():
             if isinstance(v, dict):
-                rec(dst.setdefault(k, {}), v)
+                if "kernel_q" in v:
+                    # pre-quantized linear (scripts/convert.py --quantize):
+                    # replace the node wholesale so the template's full-
+                    # precision 'kernel' doesn't linger next to 'kernel_q'
+                    dst[k] = dict(v)
+                else:
+                    rec(dst.setdefault(k, {}), v)
             else:
                 dst[k] = v
 

@@ -58,7 +58,16 @@ def convert_checkpoint(args):
     template = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), template)
     sd = load_pth_state_dict(args.pth)
     params = _overlay_family(template, sd, cfg, family)
-    save_params(args.out, params, {"model_name": args.model_name, "source": args.pth})
+    meta = {"model_name": args.model_name, "source": args.pth}
+    if args.quantize != "none":
+        # pre-quantized deployment export: int8 kernels on disk (half the
+        # bytes of bf16), loaded directly by eval drivers; training rejects
+        # quantized params (zero VJP through round/clip)
+        from frozenbilm_tpu.train.partition import apply_quantization
+
+        params = apply_quantization(params, vt, args.quantize)
+        meta["quantize"] = args.quantize
+    save_params(args.out, params, meta, fmt=args.fmt)
     print(f"wrote {args.out}")
 
 
@@ -99,6 +108,9 @@ def main():
     c.add_argument("--n_ans", type=int, default=0)
     c.add_argument("--ds_factor", type=int, default=8)
     c.add_argument("--features_dim", type=int, default=768)
+    c.add_argument("--quantize", default="none", choices=["none", "w8a8"],
+                   help="export W8A8 int8 frozen kernels (eval-only ckpt)")
+    c.add_argument("--fmt", default="npz", choices=["npz", "orbax"])
     c.set_defaults(fn=convert_checkpoint)
 
     f = sub.add_parser("features")

@@ -49,7 +49,7 @@ def test_convert_checkpoint_cli(tmp_path):
 
     a = A(); a.pth = str(pth); a.model_name = "deberta-v2-xlarge"
     a.out = str(tmp_path / "native"); a.n_ans = 0; a.ds_factor = 8
-    a.features_dim = 768
+    a.features_dim = 768; a.quantize = "none"; a.fmt = "npz"
     # shrink: overlay requires shape match on linear_video (hidden 1536) -> expect failure
     with pytest.raises(ValueError):
         convert_checkpoint(a)
@@ -156,3 +156,44 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     save_params(str(tmp_path / "ck"), tree, {"epoch": 4}, fmt="orbax")
     _, meta2 = load_params(str(tmp_path / "ck"))
     assert meta2["epoch"] == 4
+
+
+def test_quantized_checkpoint_export_and_load(tmp_path):
+    """scripts/convert.py --quantize: int8 kernels on disk; overlay_into
+    replaces the template's full-precision node wholesale; training drivers
+    reject the quantized tree."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
+    from frozenbilm_tpu.models.deberta import init_deberta_params
+    from frozenbilm_tpu.ops.quant import is_quantized
+    from frozenbilm_tpu.train.partition import (
+        apply_quantization,
+        reject_quantized_for_training,
+    )
+    from frozenbilm_tpu.utils.checkpoint import load_params, overlay_into, save_params
+
+    cfg = DebertaV2Config(vocab_size=120, hidden_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=256,
+                          max_position_embeddings=64, position_buckets=8)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=4,
+                         ds_factor_ff=4, n_ans=0)
+    params = init_deberta_params(jax.random.PRNGKey(0), cfg, vt)
+    qparams = apply_quantization(params, vt, "w8a8")
+    save_params(str(tmp_path / "q"), qparams, {"quantize": "w8a8"})
+    loaded, meta = load_params(str(tmp_path / "q"))
+    assert meta["quantize"] == "w8a8"
+    assert loaded["encoder"]["layers"]["attention"]["self"]["query_proj"][
+        "kernel_q"].dtype == np.int8
+
+    template = init_deberta_params(jax.random.PRNGKey(1), cfg, vt)
+    merged = overlay_into(template, loaded)
+    q_node = merged["encoder"]["layers"]["attention"]["self"]["query_proj"]
+    assert "kernel_q" in q_node and "kernel" not in q_node  # replaced wholesale
+    assert is_quantized(merged)
+
+    reject_quantized_for_training(merged, eval_mode=True)  # fine for eval
+    with pytest.raises(ValueError, match="eval-only"):
+        reject_quantized_for_training(merged, eval_mode=False)
