@@ -72,6 +72,10 @@ def main(args, vision_cfg=None):
     answers = [a for a, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
     a2tok = answers_to_token_ids(tokenizer, answers, args.max_atokens)
     params = jax.tree.map(jnp.asarray, bundle.set_answer_embeddings(params, a2tok))
+    if args.quantize != "none":
+        from frozenbilm_tpu.train.partition import apply_quantization
+
+        params = apply_quantization(params, bundle.vt, args.quantize)
 
     print("extracting visual features")
     feats = extract_demo_features(

@@ -169,6 +169,31 @@ def test_quantized_gptj_under_tp_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_quantized_kv_cache_decode_runs():
+    """gptneo_greedy_cached (prefill + lax.scan decode) with W8A8 params:
+    the cache-carrying decode path must compile and emit valid tokens."""
+    from frozenbilm_tpu.config import GPTNeoConfig
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached, init_gptneo_params
+
+    cfg = GPTNeoConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                       num_heads=4, window_size=6, max_position_embeddings=64)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    params = quantize_tree(init_gptneo_params(jax.random.PRNGKey(0), cfg, vt),
+                           min_features=8)
+    assert is_quantized(params)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(3, 256, size=(2, 8)))
+    am = jnp.ones((2, 8), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
+    vm = jnp.ones((2, 4), jnp.int32)
+    out = np.asarray(gptneo_greedy_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=4, eos_token_id=2))
+    assert out.shape == (2, 12)
+    assert ((0 <= out) & (out < 256)).all()
+
+
 def test_apply_quantization_none_is_identity():
     from frozenbilm_tpu.train.partition import apply_quantization
 
