@@ -150,17 +150,40 @@ class _Batcher:
         self.service = service
         self.window_s = window_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._latencies: List[float] = []  # seconds, capped window
+        self.n_requests = 0
+        self.n_batches = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, payload: Dict) -> Dict:
+        import time
+
+        t0 = time.perf_counter()
         done = threading.Event()
         slot = {"done": done}
         self.q.put((payload, slot))
         done.wait()
+        with self._lock:
+            self.n_requests += 1
+            self._latencies.append(time.perf_counter() - t0)
+            if len(self._latencies) > 1000:
+                del self._latencies[:-1000]
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            return {
+                "requests": self.n_requests,
+                "batches": self.n_batches,
+                "latency_ms_p50": round(lat[n // 2] * 1e3, 2) if n else None,
+                "latency_ms_p95": round(lat[int(n * 0.95)] * 1e3, 2) if n else None,
+            }
 
     def _run(self):
         while True:
@@ -173,6 +196,8 @@ class _Batcher:
                 except queue.Empty:
                     break
             payloads = [p for p, _ in batch]
+            with self._lock:
+                self.n_batches += 1
             try:
                 results = self.service.score(payloads)
                 for (_, slot), res in zip(batch, results):
@@ -203,6 +228,8 @@ def make_handler(batcher: _Batcher, service: QAService):
                                   "model": service.args.model_name,
                                   "batch_size": service.batch_size,
                                   "n_ans": len(service.id2a)})
+            elif self.path == "/stats":
+                self._reply(200, batcher.stats())
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -102,6 +102,12 @@ def test_serve_end_to_end(serve_env):
         assert status == 400  # wrong feature dim
         status, out = _post(url, {"question": "still alive"})
         assert status == 200
+
+        with urllib.request.urlopen(f"{url}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 8 and stats["batches"] >= 1
+        assert stats["batches"] < stats["requests"]  # batching actually batched
+        assert stats["latency_ms_p50"] > 0
     finally:
         server.shutdown()
 
