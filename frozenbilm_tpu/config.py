@@ -382,6 +382,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="data-parallel mesh axis size; -1 = all devices")
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="tensor-parallel mesh axis size (GPT-J/Neo)")
+    parser.add_argument("--mesh_fsdp", action="store_true",
+                        help="store params + optimizer state sharded over the "
+                             "data axis (FSDP/ZeRO-3; XLA all-gathers per "
+                             "layer) instead of replicated")
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")

@@ -52,7 +52,7 @@ from frozenbilm_tpu.parallel.mesh import (
 from frozenbilm_tpu.tasks.videoqa import mask_logits
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import merge_params
-from frozenbilm_tpu.train.trainer import Trainer, create_train_state
+from frozenbilm_tpu.train.trainer import make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, load_params, save_params
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
@@ -286,8 +286,9 @@ def main(args):
                 raise ValueError(
                     "multi-host training requires a mesh-divisible per-host "
                     f"batch size (got {args.batch_size})")
-            trainer = Trainer(loss_fn, tx, mesh=train_mesh)
-            state, frozen = create_train_state(params, bundle.vt, tx, mesh=train_mesh)
+            trainer, state, frozen = make_trainer_and_state(
+                loss_fn, tx, params, bundle.vt, train_mesh,
+                fsdp=getattr(args, "mesh_fsdp", False))
             best_acc = 0.0
             for epoch in range(args.start_epoch, args.epochs):
                 item.loader_train.set_epoch(epoch)

@@ -42,7 +42,7 @@ from frozenbilm_tpu.parallel.mesh import (
 )
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params, merge_params
-from frozenbilm_tpu.train.trainer import Trainer, create_train_state, make_mlm_loss_fn
+from frozenbilm_tpu.train.trainer import make_mlm_loss_fn, make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
@@ -175,8 +175,9 @@ def main(args):
         mlm_probability=args.mlm_prob,
         remat=args.remat,
     )
-    trainer = Trainer(loss_fn, tx, mesh=mesh)
-    state, frozen = create_train_state(params, bundle.vt, tx, mesh=mesh)
+    trainer, state, frozen = make_trainer_and_state(
+        loss_fn, tx, params, bundle.vt, mesh,
+        fsdp=getattr(args, "mesh_fsdp", False))
     if args.resume and args.load and os.path.isdir(args.load) and \
             os.path.exists(os.path.join(args.load, "opt_state.npz")):
         # restore optimizer state + start epoch (reference main.py:241-243)

@@ -36,7 +36,7 @@ from frozenbilm_tpu.parallel.mesh import (
 )
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params
-from frozenbilm_tpu.train.trainer import Trainer, create_train_state
+from frozenbilm_tpu.train.trainer import make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
@@ -127,8 +127,9 @@ def main(args):
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
     )
-    trainer = Trainer(make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, mesh=mesh)
-    state, frozen = create_train_state(params, bundle.vt, tx, mesh=mesh)
+    trainer, state, frozen = make_trainer_and_state(
+        make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, params,
+        bundle.vt, mesh, fsdp=getattr(args, "mesh_fsdp", False))
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))
 

@@ -48,7 +48,7 @@ from frozenbilm_tpu.parallel.mesh import (
 )
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params, merge_params, partition_params
-from frozenbilm_tpu.train.trainer import Trainer, TrainState, create_train_state
+from frozenbilm_tpu.train.trainer import TrainState, make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, load_params, save_params
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
@@ -359,8 +359,9 @@ def main(args):
                 raise ValueError(
                     "multi-host training requires a mesh-divisible per-host "
                     f"batch size (got {args.batch_size})")
-            trainer = Trainer(loss_fn, tx, mesh=train_mesh)
-            state, frozen = create_train_state(params, bundle.vt, tx, mesh=train_mesh)
+            trainer, state, frozen = make_trainer_and_state(
+                loss_fn, tx, params, bundle.vt, train_mesh,
+                fsdp=getattr(args, "mesh_fsdp", False))
             if args.resume and args.load and os.path.isdir(args.load) and \
                     os.path.exists(os.path.join(args.load, "opt_state.npz")):
                 from frozenbilm_tpu.utils.checkpoint import load_opt_state

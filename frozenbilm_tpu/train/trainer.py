@@ -36,22 +36,63 @@ class TrainState(NamedTuple):
 LossFn = Callable[[Dict, Dict, Optional[jax.Array]], Tuple[jax.Array, Dict]]
 
 
-def create_train_state(params, vt, tx, mesh: Optional[Mesh] = None) -> Tuple[TrainState, Dict]:
+def create_train_state(
+    params, vt, tx, mesh: Optional[Mesh] = None, fsdp: bool = False,
+) -> Tuple[TrainState, Dict]:
     """Partition params and init optimizer state.
 
     With a mesh, the state and frozen trees are replicated over it; under
     multi-host this is required (host-local arrays cannot feed a jit whose
     in_shardings span non-addressable devices) and assumes every host built
-    identical params (same seed / same checkpoint)."""
+    identical params (same seed / same checkpoint).
+
+    fsdp=True instead stores every large leaf (params, adam mu/nu) sharded
+    over the mesh 'data' axis (parallel/fsdp.py); pass the matching
+    shardings to Trainer via fsdp_state_shardings."""
     trainable, frozen = partition_params(params, vt)
     opt_state = tx.init(trainable)
     state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state)
-    if mesh is not None:
+    if mesh is not None and fsdp:
+        sh_state, sh_frozen = fsdp_state_shardings(mesh, state, frozen)
+        state = jax.tree.map(jax.device_put, state, sh_state)
+        frozen = jax.tree.map(jax.device_put, frozen, sh_frozen)
+    elif mesh is not None:
         from frozenbilm_tpu.parallel.mesh import replicate
 
         state = TrainState(*replicate(mesh, tuple(state)))
         frozen = replicate(mesh, frozen)
     return state, frozen
+
+
+def fsdp_state_shardings(mesh: Mesh, state: TrainState, frozen,
+                         min_size: int = 2 ** 13):
+    """(TrainState shardings, frozen shardings) for FSDP storage: every
+    large leaf sharded over 'data', small leaves replicated. Deterministic
+    in the tree shapes, so callers may recompute it anywhere."""
+    from frozenbilm_tpu.parallel.fsdp import fsdp_specs, shardings
+
+    axis = mesh.shape[DATA_AXIS]
+    sh_state = TrainState(
+        shardings(mesh, P()),
+        shardings(mesh, fsdp_specs(state.trainable, axis, min_size=min_size)),
+        shardings(mesh, fsdp_specs(state.opt_state, axis, min_size=min_size)),
+    )
+    return sh_state, shardings(mesh, fsdp_specs(frozen, axis, min_size=min_size))
+
+
+def make_trainer_and_state(loss_fn, tx, params, vt, mesh: Optional[Mesh],
+                           fsdp: bool = False):
+    """The shared driver plumbing: partition + place state, build the
+    Trainer with matching shardings. fsdp=True stores params/opt-state
+    sharded over 'data' (parallel/fsdp.py) — the layout for models whose
+    replicated weights would not fit per-chip HBM."""
+    state, frozen = create_train_state(params, vt, tx, mesh=mesh, fsdp=fsdp)
+    st_sh = fz_sh = None
+    if mesh is not None and fsdp:
+        st_sh, fz_sh = fsdp_state_shardings(mesh, state, frozen)
+    trainer = Trainer(loss_fn, tx, mesh=mesh,
+                      state_shardings=st_sh, frozen_shardings=fz_sh)
+    return trainer, state, frozen
 
 
 class Trainer:
@@ -66,23 +107,35 @@ class Trainer:
         loss_fn: LossFn,
         tx: optax.GradientTransformation,
         mesh: Optional[Mesh] = None,
+        state_shardings=None,
+        frozen_shardings=None,
     ):
+        """state_shardings/frozen_shardings (pytrees of NamedSharding
+        matching TrainState / the frozen tree, e.g. from
+        fsdp_state_shardings) override the default replicated layout —
+        params live sharded over 'data' and XLA all-gathers per scan step
+        (FSDP). Defaults replicate, which is right when the trainable
+        partition is small (the FrozenBiLM regime)."""
         self.loss_fn = loss_fn
         self.tx = tx
         self.mesh = mesh
+        self.state_shardings = state_shardings
+        self.frozen_shardings = frozen_shardings
         rep = NamedSharding(mesh, P()) if mesh else None
         data = NamedSharding(mesh, P(DATA_AXIS)) if mesh else None
+        st = state_shardings if state_shardings is not None else rep
+        fz = frozen_shardings if frozen_shardings is not None else rep
         jit_kw = {}
         if mesh is not None:
             jit_kw = dict(
-                in_shardings=(rep, rep, data, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(st, fz, data, rep),
+                out_shardings=(st, rep),
                 donate_argnums=(0,),
             )
         self._train_step = jax.jit(self._train_step_impl, **jit_kw)
         eval_kw = {}
         if mesh is not None:
-            eval_kw = dict(in_shardings=(rep, rep, data), out_shardings=rep)
+            eval_kw = dict(in_shardings=(st, fz, data), out_shardings=rep)
         self._eval_step = jax.jit(self._eval_step_impl, **eval_kw)
 
     def _train_step_impl(self, state: TrainState, frozen, batch, rng):
