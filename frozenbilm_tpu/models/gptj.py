@@ -278,8 +278,10 @@ def gptj_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_mask
 def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                        attention_mask, max_new_tokens: int,
                        eos_token_id: Optional[int] = None,
-                       pad_token_id: int = 0):
-    """KV-cache greedy decode: ONE prefill forward (video + prompt), then
+                       pad_token_id: int = 0,
+                       temperature: float = 0.0, top_k: int = 0,
+                       top_p: float = 1.0, rng=None):
+    """KV-cache decode: ONE prefill forward (video + prompt), then
     max_new_tokens single-token steps inside a lax.scan over a preallocated
     (num_layers, B, heads, Lmax, head_dim) cache.
 
@@ -288,7 +290,17 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     exists and feeds one token per step, gptj.py:737-767): static shapes,
     no per-step python dispatch, cache updates via dynamic_update_slice.
     Argmax-parity with gptj_greedy is tested on fixtures.
+
+    temperature/top_k/top_p + rng select sampled decoding (ops/sampling.py,
+    the HF warper stack of the vendored generate); temperature 0 = greedy.
     """
+    from frozenbilm_tpu.ops.sampling import select_token
+
+    def select(logits, step):
+        r = None if rng is None else jax.random.fold_in(rng, step)
+        return select_token(logits, r, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+
     B, T = input_ids.shape
     use_video = vt.features_dim and video is not None
     delay = vt.max_feats if use_video else 0
@@ -311,7 +323,7 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
 
     sin_np, cos_np = _rotary_sincos(Lmax, rd)
     sin_all, cos_all = jnp.asarray(sin_np), jnp.asarray(cos_np)
-    first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+    first = select(out.logits[:, -1, :], 0)
     # HF unfinished_sequences semantics (reference gptneo.py:1680-1700):
     # rows that emitted eos keep it, then produce pad forever after
     unfinished0 = (first != eos_token_id) if eos_token_id is not None else None
@@ -354,7 +366,7 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
             layer, x, (params["layers"], k_cache, v_cache))
         x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
         logits = linear(params["lm_head"], x).astype(jnp.float32)
-        nxt = jnp.argmax(logits, axis=-1)
+        nxt = select(logits, t - L0 + 1)
         if unfinished is not None:
             nxt = jnp.where(unfinished, nxt, pad_token_id)
             unfinished = unfinished & (nxt != eos_token_id)

@@ -257,11 +257,17 @@ def gptneo_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_ma
 def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                          attention_mask, max_new_tokens: int,
                          eos_token_id: Optional[int] = None,
-                         pad_token_id: int = 0):
-    """KV-cache greedy decode (TPU rebuild of the vendored greedy_search +
+                         pad_token_id: int = 0,
+                         temperature: float = 0.0, top_k: int = 0,
+                         top_p: float = 1.0, rng=None):
+    """KV-cache decode (TPU rebuild of the vendored greedy_search/sample +
     past_key_values path, gptneo.py:850-1726): ONE genpos prefill forward,
     then max_new_tokens single-token steps in a lax.scan over a preallocated
     cache. Argmax-parity with gptneo_greedy is tested on fixtures.
+
+    temperature/top_k/top_p + rng enable sampled decoding (ops/sampling.py
+    mirrors the HF temperature/top-k/top-p warper stack); temperature 0
+    keeps greedy.
 
     GPT-Neo specifics honored per step: learned wpe positions continue the
     per-row cumsum(mask) sequence; attention stays UNSCALED fp32; local
@@ -289,8 +295,15 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     # per-row wpe position of the i-th generated token = n_valid + i
     pos0 = jnp.sum(full_am, axis=1).astype(jnp.int32)  # (B,)
 
+    from frozenbilm_tpu.ops.sampling import select_token
+
+    def select(logits, step):
+        r = None if rng is None else jax.random.fold_in(rng, step)
+        return select_token(logits, r, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+
     is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
-    first = jnp.argmax(out.logits[:, -1, :], axis=-1)
+    first = select(out.logits[:, -1, :], 0)
     # HF unfinished_sequences semantics (vendored greedy_search,
     # gptneo.py:1680-1700): eos rows keep eos, then emit pad forever
     unfinished0 = (first != eos_token_id) if eos_token_id is not None else None
@@ -331,7 +344,7 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
             layer, x, (params["layers"], k_cache, v_cache, is_local))
         x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
         logits = linear(params["lm_head"], x).astype(jnp.float32)
-        nxt = jnp.argmax(logits, axis=-1)
+        nxt = select(logits, t - L0 + 1)
         if unfinished is not None:
             nxt = jnp.where(unfinished, nxt, pad_token_id)
             unfinished = unfinished & (nxt != eos_token_id)
