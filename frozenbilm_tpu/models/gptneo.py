@@ -210,6 +210,80 @@ def gptneo_forward(
                      kv=kvs if return_kv else None)
 
 
+def gptneo_forward_pp(
+    params,
+    cfg: GPTNeoConfig,
+    vt: VideoTextConfig,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    video: Optional[jax.Array] = None,
+    video_mask: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    *,
+    mesh,
+    n_micro: int = 4,
+    position_ids: Optional[jax.Array] = None,
+) -> GPTOutput:
+    """gptneo_forward with the layer stack run as a GPipe pipeline over the
+    mesh 'pipe' axis (parallel/pp.py) — the TPU rebuild of the reference's
+    HF parallelize(device_map) layer sharding (gptneo.py via gptj.py:421-454),
+    with microbatch overlap instead of one sample crawling the GPUs.
+
+    Embeddings / final LN / lm_head run replicated outside the pipeline
+    (they are <2% of FLOPs); logits match gptneo_forward exactly
+    (test_pp.py). Deterministic only — the pipelined path is for
+    eval/scoring; training uses DP/TP/FSDP.
+    """
+    from frozenbilm_tpu.parallel.pp import microbatch, pipeline_apply, unmicrobatch
+
+    B, T = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), jnp.int32)
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        if video_mask is None:
+            video_mask = jnp.ones(video.shape[:2], jnp.int32)
+        attention_mask = jnp.concatenate(
+            [video_mask.astype(attention_mask.dtype), attention_mask], axis=1)
+
+    x = params["wte"][input_ids]
+    if use_video:
+        v = linear(params["linear_video"], video.astype(x.dtype))
+        x = jnp.concatenate([v, x], axis=1)
+    L = x.shape[1]
+    if position_ids is None:
+        position_ids = jnp.arange(L)[None, :]
+    x = x + params["wpe"][position_ids]
+
+    add_mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_PAD
+    causal_np, local_np = _causal_masks(L, cfg.window_size)
+    causal, local = jnp.asarray(causal_np), jnp.asarray(local_np)
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+
+    def layer_fn(xs, state):
+        lp, local_flag = xs
+        h, am = state
+        allowed = jnp.where(local_flag, local, causal)
+        out = _block(lp, cfg, h, am, allowed,
+                     deterministic=True, rngs=RngStream(None))
+        return (out, am)
+
+    states = microbatch((x, jnp.broadcast_to(add_mask, (B,) + add_mask.shape[1:])),
+                        n_micro)
+    x_mb, _ = pipeline_apply(layer_fn, (params["layers"], is_local), states, mesh)
+    x = unmicrobatch(x_mb)
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+
+    loss = None
+    if labels is not None:
+        if use_video:
+            video_labels = jnp.full(video.shape[:2], -100, labels.dtype)
+            labels = jnp.concatenate([video_labels, labels], axis=1)
+        loss = cross_entropy_ignore_index(logits[:, :-1], labels[:, 1:])
+    return GPTOutput(logits=logits, loss=loss, last_hidden_state=x, kv=None)
+
+
 def _forward_with_genpos(params, cfg, vt, input_ids, attention_mask, video, video_mask,
                          return_kv: bool = False):
     """Forward with generation-style positions: cumsum(mask)-1, pads -> 1
