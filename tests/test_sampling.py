@@ -77,6 +77,32 @@ def test_cached_decode_topk1_equals_greedy():
     np.testing.assert_array_equal(greedy, sampled)
 
 
+def test_gptj_cached_decode_topk1_equals_greedy():
+    from frozenbilm_tpu.config import GPTJConfig
+    from frozenbilm_tpu.models.gptj import gptj_greedy_cached, init_gptj_params
+
+    cfg = GPTJConfig(vocab_size=97, hidden_size=32, num_layers=2, num_heads=2,
+                     rotary_dim=8, max_position_embeddings=64)
+    vt = VideoTextConfig(features_dim=16, max_feats=3, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    params = init_gptj_params(jax.random.PRNGKey(0), cfg, vt)
+    rng = np.random.default_rng(2)
+    B, T, F = 2, 6, 3
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(B, T)))
+    am = jnp.ones((B, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(B, F, 16)), jnp.float32)
+    vm = jnp.ones((B, F), jnp.int32)
+
+    greedy = np.asarray(gptj_greedy_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=5))
+    sampled = np.asarray(gptj_greedy_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=5,
+        temperature=0.5, top_k=1, rng=jax.random.PRNGKey(9)))
+    np.testing.assert_array_equal(greedy, sampled)
+
+
 def test_cached_decode_sampling_varies_with_seed():
     cfg = GPTNeoConfig(vocab_size=97, hidden_size=32, num_layers=2,
                        num_heads=2, window_size=4, max_position_embeddings=64)
