@@ -54,7 +54,7 @@ def select_token(
     logits: jax.Array,
     rng: Optional[jax.Array] = None,
     *,
-    temperature: float = 0.0,
+    temperature=0.0,
     top_k: int = 0,
     top_p: float = 1.0,
 ) -> jax.Array:
@@ -63,11 +63,22 @@ def select_token(
     temperature == 0 (or no rng) -> greedy argmax; otherwise scale by
     1/temperature, apply top-k then top-p (HF warper order), and sample
     categorically.
+
+    temperature may also be a per-row (B,) array (serving: requests with
+    different temperatures ride one batch); rows with temperature 0 take
+    the greedy token. top_k/top_p stay static (they shape the program).
     """
     logits = logits.astype(jnp.float32)
-    if temperature <= 0.0 or rng is None:
-        return jnp.argmax(logits, axis=-1)
-    logits = logits / temperature
+    greedy = jnp.argmax(logits, axis=-1)
+    if rng is None or (isinstance(temperature, (int, float)) and temperature <= 0.0):
+        return greedy
+    t = jnp.asarray(temperature, jnp.float32)
+    per_row = t.ndim == 1
+    scale = jnp.maximum(t, 1e-6)
+    logits = logits / (scale[:, None] if per_row else scale)
     logits = apply_top_k(logits, top_k)
     logits = apply_top_p(logits, top_p)
-    return jax.random.categorical(rng, logits, axis=-1)
+    sampled = jax.random.categorical(rng, logits, axis=-1)
+    if per_row:
+        return jnp.where(t > 0.0, sampled, greedy)
+    return sampled

@@ -13,14 +13,25 @@ this is the deployment-shaped equivalent for TPU serving:
   - answers come from the answer-vocabulary head at the [MASK] position
     (videoqa.py:164-170 semantics), top-k with probabilities.
 
-Endpoints:
+Endpoints (encoder families — deberta/bert):
   POST /qa      {"question": str, "subtitles": str?, "topk": int?,
                  "video_features": [[f]*features_dim]*n_frames?}
                 -> {"answers": [{"answer": str, "prob": float}, ...]}
+Endpoints (AR families — gptneo/gptj; KV-cache decode + ops/sampling.py):
+  POST /generate {"prompt": str, "temperature": float?,
+                  "max_new_tokens": int?, "video_features": ...?}
+                 -> {"text": str, "tokens": [int, ...]}
+                 Per-request temperature rides the batch as a (B,) array
+                 (0 = greedy row); top-k/top-p are server flags (static —
+                 they shape the compiled program).
+Both:
   GET  /healthz -> {"status": "ok", "model": ..., "batch_size": ...}
+  GET  /stats   -> request/batch counts, p50/p95 latency
 
 Run: python -m frozenbilm_tpu.tasks.serve --combine_datasets none \
        --combine_datasets_val none --load ckpt --port 8000 ...
+The service type follows --model_name: encoder models serve /qa,
+GPT models serve /generate.
 """
 
 from __future__ import annotations
@@ -50,8 +61,35 @@ from frozenbilm_tpu.tasks.videoqa import make_qa_steps
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
 
 
+def _load_serving_params(args, bundle, tokenizer_needed: bool = False):
+    """Shared param plumbing: init -> base weights -> --load -> dtype/quant."""
+    params = bundle.init_params(jax.random.PRNGKey(args.seed))
+    base_dir = args.tokenizer_path or os.path.join(
+        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+    if os.path.isdir(base_dir):
+        try:
+            params = load_any_checkpoint(base_dir, params, bundle.cfg,
+                                         bundle.family)
+        except FileNotFoundError:
+            pass
+    if args.load:
+        params = load_any_checkpoint(args.load, params, bundle.cfg,
+                                     bundle.family)
+    return params
+
+
+def _finalize_params(args, bundle, params):
+    from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
+
+    params = jax.tree.map(jnp.asarray, params)
+    params = apply_param_dtype(params, bundle.vt, args.param_dtype)
+    return apply_quantization(params, bundle.vt, args.quantize)
+
+
 class QAService:
     """Model + tokenizer + ONE jitted fixed-shape scoring program."""
+
+    endpoint = "/qa"
 
     def __init__(self, args):
         self.args = args
@@ -60,27 +98,11 @@ class QAService:
         self.id2a = {y: x for x, y in vocab.items()}
         args.n_ans = len(vocab)
         bundle = build_model(args)
-        params = bundle.init_params(jax.random.PRNGKey(args.seed))
-        base_dir = args.tokenizer_path or os.path.join(
-            os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
-        if os.path.isdir(base_dir):
-            try:
-                params = load_any_checkpoint(base_dir, params, bundle.cfg,
-                                             bundle.family)
-            except FileNotFoundError:
-                pass
-        if args.load:
-            params = load_any_checkpoint(args.load, params, bundle.cfg,
-                                         bundle.family)
+        params = _load_serving_params(args, bundle)
         answers = [a for a, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
         a2tok = answers_to_token_ids(self.tokenizer, answers, args.max_atokens)
         params = bundle.set_answer_embeddings(params, a2tok)
-        params = jax.tree.map(jnp.asarray, params)
-        from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
-
-        params = apply_param_dtype(params, bundle.vt, args.param_dtype)
-        params = apply_quantization(params, bundle.vt, args.quantize)
-        self.params = params
+        self.params = _finalize_params(args, bundle, params)
         self.bundle = bundle
         self.batch_size = args.batch_size_val
         _, self._eval_step = make_qa_steps(
@@ -138,8 +160,95 @@ class QAService:
         out = []
         for i in range(n):
             k = min(int(requests[i].get("topk", 5)), top_ids.shape[1])
-            out.append([{"answer": self.id2a[int(top_ids[i, j])],
-                         "prob": float(top_p[i, j])} for j in range(k)])
+            out.append({"answers": [{"answer": self.id2a[int(top_ids[i, j])],
+                                     "prob": float(top_p[i, j])}
+                                    for j in range(k)]})
+        return out
+
+
+class GenService:
+    """AR text generation: KV-cache decode (ONE prefill + lax.scan steps)
+    with per-request temperature riding the batch as a (B,) array.
+
+    The reference's only generation surface is the vendored HF generate
+    inside gptneo.py:850-1726, driven one sample at a time; here requests
+    continuously batch into one static-shape decode program (left-padded
+    prompts, videoqa_ar.py:178-179 convention, so the prefill's last
+    position is real text)."""
+
+    endpoint = "/generate"
+
+    def __init__(self, args):
+        self.args = args
+        self.tokenizer = get_tokenizer(args)
+        bundle = build_model(args)
+        params = _load_serving_params(args, bundle)
+        self.params = _finalize_params(args, bundle, params)
+        self.bundle = bundle
+        self.batch_size = args.batch_size_val
+        self.max_new = args.serve_max_new_tokens
+        self._batch_counter = 0
+        eos = self.tokenizer.eos_token_id
+        self.eos = eos
+
+        def gen(params, ids, am, video, vm, temps, rng):
+            return bundle.greedy(
+                params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
+                input_ids=ids, attention_mask=am,
+                max_new_tokens=self.max_new, eos_token_id=eos,
+                pad_token_id=eos if eos is not None else 0,
+                temperature=temps, top_k=args.serve_top_k,
+                top_p=args.serve_top_p, rng=rng)
+
+        self._gen = jax.jit(gen)
+
+    def validate(self, payload: Dict) -> None:
+        if not isinstance(payload.get("prompt"), str) or not payload["prompt"]:
+            raise ValueError("missing 'prompt'")
+        t = payload.get("temperature", 0.0)
+        if not isinstance(t, (int, float)) or t < 0:
+            raise ValueError("'temperature' must be a number >= 0")
+        feats = payload.get("video_features")
+        if feats is not None:
+            arr = np.asarray(feats, np.float32)
+            if arr.ndim != 2 or arr.shape[1] != self.args.features_dim:
+                raise ValueError(
+                    f"video_features must be (n_frames, {self.args.features_dim})")
+
+    def score(self, requests: List[Dict]) -> List[Dict]:
+        n = len(requests)
+        B = self.batch_size
+        reqs = requests + [requests[-1]] * (B - n)
+        enc = encode_batch(self.tokenizer, [r["prompt"] for r in reqs],
+                           self.args.max_tokens, left_pad=True)
+        F, D = self.args.max_feats, self.args.features_dim
+        video = np.zeros((B, F, D), np.float32)
+        vmask = np.zeros((B, F), np.int32)
+        for i, r in enumerate(reqs):
+            feats = r.get("video_features")
+            if feats:
+                arr = np.asarray(feats, np.float32).reshape(-1, D)
+                sub, vlen = subsample_or_pad(arr, F)
+                video[i], vmask[i, :vlen] = sub, 1
+        temps = np.asarray([float(r.get("temperature", 0.0)) for r in reqs],
+                           np.float32)
+        self._batch_counter += 1
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed),
+                                 self._batch_counter)
+        T = enc["input_ids"].shape[1]
+        seq = np.asarray(self._gen(
+            self.params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]), jnp.asarray(video),
+            jnp.asarray(vmask), jnp.asarray(temps), rng))
+        out = []
+        for i in range(n):
+            want = min(int(requests[i].get("max_new_tokens", self.max_new)),
+                       self.max_new)
+            toks = seq[i, T:T + want].tolist()
+            if self.eos is not None and self.eos in toks:
+                toks = toks[:toks.index(self.eos)]
+            out.append({"text": self.tokenizer.decode(toks),
+                        "tokens": toks})
         return out
 
 
@@ -201,7 +310,7 @@ class _Batcher:
             try:
                 results = self.service.score(payloads)
                 for (_, slot), res in zip(batch, results):
-                    slot["result"] = {"answers": res}
+                    slot["result"] = res
             except Exception as e:  # propagate per-request, keep serving
                 for _, slot in batch:
                     slot["error"] = repr(e)
@@ -209,7 +318,7 @@ class _Batcher:
                 slot["done"].set()
 
 
-def make_handler(batcher: _Batcher, service: QAService):
+def make_handler(batcher: _Batcher, service):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -224,17 +333,20 @@ def make_handler(batcher: _Batcher, service: QAService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok",
-                                  "model": service.args.model_name,
-                                  "batch_size": service.batch_size,
-                                  "n_ans": len(service.id2a)})
+                info = {"status": "ok",
+                        "model": service.args.model_name,
+                        "batch_size": service.batch_size,
+                        "endpoint": service.endpoint}
+                if hasattr(service, "id2a"):
+                    info["n_ans"] = len(service.id2a)
+                self._reply(200, info)
             elif self.path == "/stats":
                 self._reply(200, batcher.stats())
             else:
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/qa":
+            if self.path != service.endpoint:
                 return self._reply(404, {"error": "not found"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -254,9 +366,15 @@ def make_handler(batcher: _Batcher, service: QAService):
 
 
 def build_server(args) -> ThreadingHTTPServer:
-    service = QAService(args)
-    # warm the compile before accepting traffic
-    service.score([{"question": "what is happening?", "topk": 1}])
+    from frozenbilm_tpu.models import family_of
+
+    if family_of(args.model_name) in ("gptneo", "gptj"):
+        service = GenService(args)
+        # warm the compile before accepting traffic
+        service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])
+    else:
+        service = QAService(args)
+        service.score([{"question": "what is happening?", "topk": 1}])
     batcher = _Batcher(service, window_ms=args.serve_window_ms)
     server = ThreadingHTTPServer((args.serve_host, args.port),
                                  make_handler(batcher, service))
@@ -271,6 +389,13 @@ def get_serve_parser():
     parser.add_argument("--serve_host", default="0.0.0.0")
     parser.add_argument("--serve_window_ms", type=float, default=5.0,
                         help="batching window: wait this long to fill a batch")
+    parser.add_argument("--serve_max_new_tokens", type=int, default=32,
+                        help="AR serving: decode length of the compiled "
+                             "program (per-request max_new_tokens truncates)")
+    parser.add_argument("--serve_top_k", type=int, default=0,
+                        help="AR serving: top-k sampling filter (0 = off)")
+    parser.add_argument("--serve_top_p", type=float, default=1.0,
+                        help="AR serving: nucleus sampling mass (1 = off)")
     return parser
 
 

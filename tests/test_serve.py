@@ -112,6 +112,94 @@ def test_serve_end_to_end(serve_env):
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def gen_env(tmp_path_factory):
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    root = tmp_path_factory.mktemp("gen_env")
+    model_dir = root / "gpt-neo-tiny"
+    model_dir.mkdir()
+    symbols = list(bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab["<|endoftext|>"] = len(vocab)
+    json.dump(vocab, open(model_dir / "vocab.json", "w"))
+    (model_dir / "merges.txt").write_text("#version: 0.2\n")
+    json.dump({
+        "vocab_size": len(vocab), "hidden_size": 32, "num_layers": 2,
+        "num_heads": 4, "window_size": 8, "max_position_embeddings": 128,
+        "attention_dropout": 0.0, "resid_dropout": 0.0, "embed_dropout": 0.0,
+    }, open(model_dir / "config.json", "w"))
+    return model_dir
+
+
+def test_serve_generate(gen_env):
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    args = get_serve_parser().parse_args([
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b",
+        "--tokenizer_path", str(gen_env),
+        "--features_dim", "16", "--max_feats", "4", "--max_tokens", "16",
+        "--batch_size_val", "2", "--serve_host", "127.0.0.1", "--port", "0",
+        "--serve_max_new_tokens", "6",
+    ])
+    server = build_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["endpoint"] == "/generate"
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"{url}/generate", json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # greedy (temperature omitted) is deterministic across calls
+        s1, o1 = post({"prompt": "a dog"})
+        s2, o2 = post({"prompt": "a dog"})
+        assert s1 == s2 == 200
+        assert o1["tokens"] == o2["tokens"]
+        assert len(o1["tokens"]) <= 6 and isinstance(o1["text"], str)
+
+        # per-request truncation
+        s3, o3 = post({"prompt": "a dog", "max_new_tokens": 2})
+        assert s3 == 200 and len(o3["tokens"]) <= 2
+        assert o3["tokens"] == o1["tokens"][:len(o3["tokens"])]
+
+        # sampled rows accepted; video features too
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(5, 16)).astype(np.float32).tolist()
+        s4, o4 = post({"prompt": "a cat", "temperature": 1.2,
+                       "video_features": feats})
+        assert s4 == 200 and len(o4["tokens"]) <= 6
+
+        # validation: missing prompt / bad temperature rejected pre-batch
+        s5, o5 = post({"temperature": 1.0})
+        assert s5 == 400 and "prompt" in o5["error"]
+        s6, o6 = post({"prompt": "x", "temperature": -1})
+        assert s6 == 400
+        # /qa is not served in generate mode
+        req = urllib.request.Request(
+            f"{url}/qa", json.dumps({"question": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 404
+    finally:
+        server.shutdown()
+
+
 def test_serve_quantized(serve_env):
     server, url = _server(serve_env, extra=["--quantize", "w8a8"])
     try:
