@@ -65,7 +65,7 @@ def _device_batch(batch_dict, tokenizer, args, mesh=None):
 
 
 def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args, mesh,
-                    profiler=None):
+                    profiler=None, guard=None):
     metric_logger = MetricLogger()
     rng = jax.random.PRNGKey(args.seed)
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
@@ -82,10 +82,16 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
         if not np.isfinite(loss):
             raise RuntimeError(f"Loss is {loss}, stopping training")
         metric_logger.update(loss=loss)
+        if guard is not None and guard.preempted:
+            # finish cleanly after the in-flight step; caller saves
+            break
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)
-    return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
+    stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+    if "loss" in metric_logger.meters:
+        stats["steps"] = metric_logger.meters["loss"].count
+    return state, stats
 
 
 def evaluate(state, frozen, trainer, tokenizer, data_loader, args, mesh):
@@ -215,12 +221,32 @@ def main(args):
 
         profiler = StepProfiler(logdir=args.profile_dir, start_step=5, num_steps=3)
 
+    from frozenbilm_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        log = _train_loop(state, frozen, trainer, tokenizer, loader_train,
+                          loader_val, args, mesh, profiler, guard)
+    return log
+
+
+def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
+                args, mesh, profiler, guard):
+    from frozenbilm_tpu.train.preemption import save_preempt_checkpoint
+
     log = []
     for epoch in range(args.start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
         state, train_stats = train_one_epoch(state, frozen, trainer, tokenizer,
                                              loader_train, epoch, args, mesh,
-                                             profiler=profiler)
+                                             profiler=profiler, guard=guard)
+        if guard.preempted:
+            path = save_preempt_checkpoint(
+                args.save_dir, state, epoch=epoch,
+                step=int(train_stats.get("steps", 0)), fmt=args.ckpt_format)
+            if is_main_process():
+                print(f"SIGTERM: saved preemption checkpoint to {path}; "
+                      f"resume with --resume --load {path}")
+            return log
         if profiler is not None and epoch == args.start_epoch:
             profiler.close()
             if is_main_process():
