@@ -241,7 +241,7 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
 
 def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
-                    epoch, dataset_name, args, rng):
+                    epoch, dataset_name, args, rng, guard=None):
     metric_logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq, header):
@@ -257,6 +257,8 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
         if not np.isfinite(loss):
             raise RuntimeError(f"Loss is {loss}, stopping training")
         metric_logger.update(loss=loss)
+        if guard is not None and guard.preempted:
+            break
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)
@@ -383,11 +385,26 @@ def main(args):
                 print("number of params:", count_params(state.trainable))
             rng = jax.random.PRNGKey(args.seed)
             best_acc, best_epoch = 0.0, args.start_epoch
+            from frozenbilm_tpu.train.preemption import (
+                PreemptionGuard,
+                save_preempt_checkpoint,
+            )
+
+            guard = PreemptionGuard().__enter__()
             for epoch in range(args.start_epoch, args.epochs):
                 item.loader_train.set_epoch(epoch)
                 state, train_stats = train_one_epoch(
                     state, frozen, trainer, tokenizer, item.loader_train,
-                    epoch, item.dataset_name, args, rng)
+                    epoch, item.dataset_name, args, rng, guard=guard)
+                if guard.preempted:
+                    path = save_preempt_checkpoint(
+                        args.save_dir, state, epoch=epoch, step=-1,
+                        fmt=args.ckpt_format)
+                    if is_main_process():
+                        print(f"SIGTERM: saved preemption checkpoint to "
+                              f"{path}; resume with --resume --load {path}")
+                    guard.__exit__()
+                    return
                 if (epoch + 1) % args.eval_skip == 0:
                     cur = merge_params(state.trainable, frozen)
                     _, out = evaluate(cur, bundle, tokenizer, item.loader_val,
@@ -411,6 +428,7 @@ def main(args):
                     from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
                     save_opt_state(ckpt_dir, state.opt_state)
+            guard.__exit__()
             # reload best before final test (videoqa.py:489-498)
             if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
                 best, _ = load_params(os.path.join(args.save_dir, "best_model"))
