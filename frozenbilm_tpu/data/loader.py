@@ -130,3 +130,36 @@ class DataLoader:
             yield item
         if err:
             raise err[0]
+
+
+def device_prefetch(iterator, place_fn: Callable, depth: int = 2) -> Iterator:
+    """Run `place_fn(batch)` (host encode + device_put) `depth` batches
+    ahead of the consumer, in a background thread.
+
+    JAX dispatch is thread-safe and device_put enqueues asynchronously, so
+    the next batch's tokenization and H2D transfer overlap the train step's
+    blocking host work (the float(loss) fetch). Exceptions surface on the
+    consumer thread; generators must be fully consumed or discarded (the
+    daemon thread exits with the queue).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for b in iterator:
+                q.put(place_fn(b))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    if err:
+        raise err[0]

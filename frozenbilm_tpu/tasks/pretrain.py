@@ -68,9 +68,14 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
                     profiler=None, guard=None):
     metric_logger = MetricLogger()
     rng = jax.random.PRNGKey(args.seed)
-    for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
-                                              f"Epoch: [{epoch}]"):
-        db = _device_batch(batch_dict, tokenizer, args, mesh)
+    # tokenize + device_put run one batch ahead in a background thread, so
+    # the H2D transfer overlaps this step's blocking float(loss) fetch
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(
+        iter(data_loader), lambda bd: _device_batch(bd, tokenizer, args, mesh))
+    for db in metric_logger.log_every(it, args.print_freq,
+                                      f"Epoch: [{epoch}]", total=len(data_loader)):
         if profiler is not None:
             n_tok = int(np.prod(np.asarray(db["input_ids"]).shape))
             with profiler.step(tokens=n_tok):

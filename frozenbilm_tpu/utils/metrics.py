@@ -109,12 +109,14 @@ class MetricLogger:
     def add_meter(self, name: str, meter: SmoothedValue) -> None:
         self.meters[name] = meter
 
-    def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = "",
+                  total: Optional[int] = None):
         i = 0
-        try:
-            total = len(iterable)
-        except TypeError:
-            total = None
+        if total is None:
+            try:
+                total = len(iterable)
+            except TypeError:
+                total = None
         start = time.time()
         end = time.time()
         iter_time = SmoothedValue(fmt="{avg:.4f}")

@@ -284,6 +284,29 @@ def test_loader_multiworker_matches_single():
     assert single == multi and len(single) == 6
 
 
+def test_device_prefetch_order_and_errors():
+    """device_prefetch preserves order, applies place_fn, and re-raises
+    worker exceptions on the consumer thread."""
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    got = list(device_prefetch(iter(range(9)), lambda x: x * 2, depth=3))
+    assert got == [x * 2 for x in range(9)]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("bad batch")
+        return x
+
+    out = []
+    try:
+        for v in device_prefetch(iter(range(9)), boom, depth=2):
+            out.append(v)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "bad batch" in str(e)
+    assert out == [0, 1, 2]
+
+
 def _write_deberta_fast_tokenizer(d):
     """Minimal tokenizer.json dir loadable by DebertaV2TokenizerFast — the
     code path get_tokenizer takes for deberta when no sentencepiece model
