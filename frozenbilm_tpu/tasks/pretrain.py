@@ -262,8 +262,11 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
             log_entry.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_dir and is_main_process():
                 ckpt_dir = os.path.join(args.save_dir, f"checkpoint{epoch:04}")
+                # orbax saves issue async: serialization overlaps the next
+                # epoch; wait_for_pending_saves() runs before return/preempt
                 save_params(ckpt_dir, state.trainable, {"epoch": epoch},
-                            fmt=args.ckpt_format)
+                            fmt=args.ckpt_format,
+                            block=args.ckpt_format != "orbax")
                 from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
                 save_opt_state(ckpt_dir, state.opt_state)
@@ -271,6 +274,9 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log_entry) + "\n")
+    from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
+
+    wait_for_pending_saves()
     return log
 
 

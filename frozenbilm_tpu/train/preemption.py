@@ -71,4 +71,7 @@ def save_preempt_checkpoint(save_dir: str, state, *, epoch: int,
                 {"epoch": epoch - 1, "preempted_epoch": epoch,
                  "preempted_step": step}, fmt=fmt)
     save_opt_state(path, state.opt_state)
+    from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
+
+    wait_for_pending_saves()  # must be durable within the grace window
     return path

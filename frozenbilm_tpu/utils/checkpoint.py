@@ -46,14 +46,37 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+_ASYNC_CKPT = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPT
+    if _ASYNC_CKPT is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPT
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async orbax save issued so far is durable. Call
+    before process exit (and before reading a just-written checkpoint)."""
+    if _ASYNC_CKPT is not None:
+        _ASYNC_CKPT.wait_until_finished()
+
+
 def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
-                fmt: str = "npz") -> None:
+                fmt: str = "npz", block: bool = True) -> None:
     """Save a (possibly partitioned, None-pruned) param tree.
 
     fmt="npz": one flat .npz — simple, portable, the default.
     fmt="orbax": orbax PyTree checkpoint (--ckpt_format orbax) — the
     production option: per-leaf OCDBT storage with sharding metadata,
     suited to multi-host and very large trees.
+
+    block=False (orbax only): issue the save on orbax's AsyncCheckpointer —
+    device arrays are snapshotted, serialization overlaps subsequent train
+    steps. The write is durable only after wait_for_pending_saves().
     """
     os.makedirs(path, exist_ok=True)
     if fmt == "orbax":
@@ -62,10 +85,15 @@ def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
         import orbax.checkpoint as ocp
 
         target = os.path.abspath(os.path.join(path, "params_orbax"))
+        wait_for_pending_saves()  # a pending save may still hold `target`
         if os.path.exists(target):  # mirror np.savez overwrite semantics
             shutil.rmtree(target)
         # prune None leaves (frozen/trainable partitions) into a plain dict
-        ocp.PyTreeCheckpointer().save(target, _unflatten(_flatten(tree)))
+        pruned = _unflatten(_flatten(tree))
+        if block:
+            ocp.PyTreeCheckpointer().save(target, pruned)
+        else:
+            _async_checkpointer().save(target, pruned)
     elif fmt == "npz":
         np.savez(os.path.join(path, "params.npz"), **_flatten(tree))
     else:
@@ -76,6 +104,7 @@ def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
 
 def load_params(path: str) -> Tuple[Dict, Dict]:
     """Load save_params output; the format is auto-detected."""
+    wait_for_pending_saves()  # the dir may belong to an in-flight async save
     npz_path = os.path.join(path, "params.npz")
     orbax_path = os.path.join(path, "params_orbax")
     if os.path.exists(npz_path):
@@ -154,7 +183,8 @@ def load_any_checkpoint(path: str, template: Dict, cfg, family: str) -> Dict:
     )
 
     if os.path.isdir(path):
-        if os.path.exists(os.path.join(path, "params.npz")):
+        if (os.path.exists(os.path.join(path, "params.npz"))
+                or os.path.exists(os.path.join(path, "params_orbax"))):
             loaded, _ = load_params(path)
             return overlay_into(template, loaded)
         for name in ("pytorch_model.bin", "model.safetensors"):

@@ -158,6 +158,32 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert meta2["epoch"] == 4
 
 
+def test_orbax_async_checkpoint_roundtrip(tmp_path):
+    """save_params(block=False) issues the orbax save asynchronously;
+    load_params drains pending saves first, so an immediate read-back sees
+    the durable checkpoint. Consecutive async saves to the same target
+    serialize (the second waits for the first before rmtree)."""
+    import jax.numpy as jnp
+
+    from frozenbilm_tpu.utils.checkpoint import (load_params, save_params,
+                                                 wait_for_pending_saves)
+
+    tree = {"adapter": {"down": jnp.arange(8.0).reshape(2, 4)},
+            "frozen": None}
+    save_params(str(tmp_path / "ck"), tree, {"epoch": 0}, fmt="orbax",
+                block=False)
+    # immediate overwrite while the first save may still be in flight
+    tree2 = {"adapter": {"down": jnp.arange(8.0).reshape(2, 4) + 1.0},
+             "frozen": None}
+    save_params(str(tmp_path / "ck"), tree2, {"epoch": 1}, fmt="orbax",
+                block=False)
+    back, meta = load_params(str(tmp_path / "ck"))
+    assert meta["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(back["adapter"]["down"]),
+                                  np.arange(8.0).reshape(2, 4) + 1.0)
+    wait_for_pending_saves()  # idempotent after drain
+
+
 def test_quantized_checkpoint_export_and_load(tmp_path):
     """scripts/convert.py --quantize: int8 kernels on disk; overlay_into
     replaces the template's full-precision node wholesale; training drivers
