@@ -404,6 +404,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="capture an xprof trace window of training steps here")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers on backward (memory saver)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="split each train batch into N sequential "
+                             "microbatches inside the jitted step (lax.scan), "
+                             "averaging grads before one optimizer update — "
+                             "large effective batches in ~1/N activation HBM")
 
     return parser
 

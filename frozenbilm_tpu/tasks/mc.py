@@ -288,7 +288,8 @@ def main(args):
                     f"batch size (got {args.batch_size})")
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, bundle.vt, train_mesh,
-                fsdp=getattr(args, "mesh_fsdp", False))
+                fsdp=getattr(args, "mesh_fsdp", False),
+                grad_accum=getattr(args, "grad_accum", 1))
             best_acc = 0.0
             for epoch in range(args.start_epoch, args.epochs):
                 item.loader_train.set_epoch(epoch)

@@ -188,7 +188,8 @@ def main(args):
     )
     trainer, state, frozen = make_trainer_and_state(
         loss_fn, tx, params, bundle.vt, mesh,
-        fsdp=getattr(args, "mesh_fsdp", False))
+        fsdp=getattr(args, "mesh_fsdp", False),
+        grad_accum=getattr(args, "grad_accum", 1))
     if args.resume and args.load and os.path.isdir(args.load) and \
             os.path.exists(os.path.join(args.load, "opt_state.npz")):
         # restore optimizer state + start epoch (reference main.py:241-243)

@@ -129,7 +129,8 @@ def main(args):
     )
     trainer, state, frozen = make_trainer_and_state(
         make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, params,
-        bundle.vt, mesh, fsdp=getattr(args, "mesh_fsdp", False))
+        bundle.vt, mesh, fsdp=getattr(args, "mesh_fsdp", False),
+        grad_accum=getattr(args, "grad_accum", 1))
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))
 

@@ -363,7 +363,8 @@ def main(args):
                     f"batch size (got {args.batch_size})")
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, bundle.vt, train_mesh,
-                fsdp=getattr(args, "mesh_fsdp", False))
+                fsdp=getattr(args, "mesh_fsdp", False),
+                grad_accum=getattr(args, "grad_accum", 1))
             if args.resume and args.load and os.path.isdir(args.load) and \
                     os.path.exists(os.path.join(args.load, "opt_state.npz")):
                 from frozenbilm_tpu.utils.checkpoint import load_opt_state

@@ -81,7 +81,7 @@ def fsdp_state_shardings(mesh: Mesh, state: TrainState, frozen,
 
 
 def make_trainer_and_state(loss_fn, tx, params, vt, mesh: Optional[Mesh],
-                           fsdp: bool = False):
+                           fsdp: bool = False, grad_accum: int = 1):
     """The shared driver plumbing: partition + place state, build the
     Trainer with matching shardings. fsdp=True stores params/opt-state
     sharded over 'data' (parallel/fsdp.py) — the layout for models whose
@@ -91,7 +91,8 @@ def make_trainer_and_state(loss_fn, tx, params, vt, mesh: Optional[Mesh],
     if mesh is not None and fsdp:
         st_sh, fz_sh = fsdp_state_shardings(mesh, state, frozen)
     trainer = Trainer(loss_fn, tx, mesh=mesh,
-                      state_shardings=st_sh, frozen_shardings=fz_sh)
+                      state_shardings=st_sh, frozen_shardings=fz_sh,
+                      grad_accum=grad_accum)
     return trainer, state, frozen
 
 
@@ -109,13 +110,26 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         state_shardings=None,
         frozen_shardings=None,
+        grad_accum: int = 1,
     ):
         """state_shardings/frozen_shardings (pytrees of NamedSharding
         matching TrainState / the frozen tree, e.g. from
         fsdp_state_shardings) override the default replicated layout —
         params live sharded over 'data' and XLA all-gathers per scan step
         (FSDP). Defaults replicate, which is right when the trainable
-        partition is small (the FrozenBiLM regime)."""
+        partition is small (the FrozenBiLM regime).
+
+        grad_accum=N splits each train batch into N sequential microbatches
+        inside the jitted step (lax.scan), averaging gradients before the
+        single optimizer update — the large-effective-batch option when
+        activations for the full batch would not fit HBM. Peak activation
+        memory drops ~N-fold; the optimizer update count is unchanged. The
+        batch's leading dim must be divisible by N (and by N x data-axis
+        under a mesh). The microbatch split is leading-dim-major, so each
+        device's shard splits locally — no cross-device resharding."""
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+        self.grad_accum = grad_accum
         self.loss_fn = loss_fn
         self.tx = tx
         self.mesh = mesh
@@ -141,12 +155,17 @@ class Trainer:
     def _train_step_impl(self, state: TrainState, frozen, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
 
-        def compute(trainable):
+        def compute(trainable, mb, r):
             params = merge_params(trainable, frozen)
-            loss, metrics = self.loss_fn(params, batch, step_rng)
+            loss, metrics = self.loss_fn(params, mb, r)
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(state.trainable)
+        grad_fn = jax.value_and_grad(compute, has_aux=True)
+        if self.grad_accum == 1:
+            (loss, metrics), grads = grad_fn(state.trainable, batch, step_rng)
+        else:
+            (loss, metrics), grads = self._accumulate(
+                grad_fn, state.trainable, batch, step_rng)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         metrics = dict(metrics)
@@ -154,6 +173,45 @@ class Trainer:
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(state.step + 1, trainable, opt_state)
         return new_state, metrics
+
+    def _accumulate(self, grad_fn, trainable, batch, step_rng):
+        """Mean loss/metrics/grads over grad_accum sequential microbatches
+        via lax.scan (one compiled body, peak activations ~1/N). Microbatch
+        i gets fold_in(step_rng, i) so MLM corruption / dropout stay i.i.d.
+        across microbatches. Row m*N+i goes to microbatch i: with the batch
+        contiguously sharded over 'data', every microbatch stays evenly
+        spread across devices (no resharding collectives)."""
+        accum = self.grad_accum
+
+        def split(x):
+            b = x.shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch dim {b} not divisible by grad_accum={accum}")
+            x = x.reshape(b // accum, accum, *x.shape[1:]).swapaxes(0, 1)
+            if self.mesh is not None:
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+            return x
+
+        micro = jax.tree.map(split, batch)
+        # carry structure (incl. the loss_fn's aux metrics dict) at zero,
+        # discovered without compute
+        shapes = jax.eval_shape(grad_fn, trainable,
+                                jax.tree.map(lambda x: x[0], micro), step_rng)
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, xs):
+            (l_acc, m_acc), g_acc = carry
+            mb, i = xs
+            (loss, metrics), grads = grad_fn(
+                trainable, mb, jax.random.fold_in(step_rng, i))
+            carry = ((l_acc + loss, jax.tree.map(jnp.add, m_acc, metrics)),
+                     jax.tree.map(jnp.add, g_acc, grads))
+            return carry, None
+
+        acc, _ = jax.lax.scan(body, zeros, (micro, jnp.arange(accum)))
+        return jax.tree.map(lambda x: x / accum, acc)
 
     def _eval_step_impl(self, state: TrainState, frozen, batch):
         params = merge_params(state.trainable, frozen)

@@ -178,3 +178,63 @@ def test_dist_helpers_single_process():
     sync_global_devices("noop")
     x = jnp.arange(6).reshape(3, 2)
     np.testing.assert_array_equal(fetch_local_rows(None, x), np.asarray(x))
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=N: one update from N averaged microbatch grads equals the
+    full-batch update when the loss is rng-independent (per-sample mean CE
+    is linear in the batch mean). Uses a deterministic loss (no corruption,
+    no dropout) so only the accumulation math is under test."""
+
+    def det_loss_fn(params, batch, rng):
+        del rng
+        out = deberta_forward(
+            params, CFG, VT, batch["input_ids"], batch["attention_mask"],
+            batch["video"], batch["video_mask"],
+            labels=batch["input_ids"], mlm=True, deterministic=True)
+        return out.loss, {"aux": out.loss * 2.0}
+
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1)
+    batch = _make_batch()
+
+    results = {}
+    for accum in (1, 4):
+        trainer = Trainer(det_loss_fn, tx, grad_accum=accum)
+        state, frozen = create_train_state(params, VT, tx)
+        state, metrics = trainer.train_step(
+            state, frozen, batch, jax.random.PRNGKey(7))
+        results[accum] = (state, metrics)
+
+    m1, m4 = results[1][1], results[4][1]
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m4["aux"]), float(m1["aux"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[1][0].trainable),
+                    jax.tree.leaves(results[4][0].trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_grad_accum_on_mesh_and_validation():
+    """Accumulation under a sharded batch (microbatch split must not break
+    DP), and the divisibility / >=1 guards."""
+    import pytest
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1)
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT,
+                               mask_token_id=4, vocab_size=120)
+    trainer = Trainer(loss_fn, tx, mesh=mesh, grad_accum=2)
+    state, frozen = create_train_state(params, VT, tx, mesh=mesh)
+    batch = shard_batch(mesh, _make_batch(n=16))
+    state, metrics = trainer.train_step(state, frozen, batch,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(loss_fn, tx, grad_accum=0)
+    bad = Trainer(loss_fn, tx, grad_accum=3)
+    st2, fz2 = create_train_state(params, VT, tx)
+    with pytest.raises(ValueError, match="not divisible"):
+        bad.train_step(st2, fz2, _make_batch(n=8), jax.random.PRNGKey(0))
