@@ -404,6 +404,15 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="capture an xprof trace window of training steps here")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers on backward (memory saver)")
+    parser.add_argument("--keep_ckpts", type=int, default=0,
+                        help="retention: keep only the newest N epoch "
+                             "checkpoints (best_model/ckpt/preempt never "
+                             "pruned); 0 = keep all")
+    parser.add_argument("--skip_nonfinite", type=int, default=0,
+                        help="tolerate up to N consecutive non-finite train "
+                             "steps: the update is dropped in-jit "
+                             "(optax.apply_if_finite) and the step excluded "
+                             "from metrics; 0 = abort on first (reference)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="split each train batch into N sequential "
                              "microbatches inside the jitted step (lax.scan), "

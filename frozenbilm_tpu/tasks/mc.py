@@ -185,7 +185,10 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
 
 def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args):
+    from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+
     metric_logger = MetricLogger()
+    nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
                                               f"Epoch: [{epoch}]"):
         db = _device_batch(batch_dict, tokenizer, args)
@@ -194,9 +197,8 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
             db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
         loss = float(metrics["loss"])
-        if not np.isfinite(loss):
-            raise RuntimeError(f"Loss is {loss}, stopping training")
-        metric_logger.update(loss=loss)
+        if not nf_policy.step(loss):
+            metric_logger.update(loss=loss)
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)
@@ -275,6 +277,7 @@ def main(args):
                               args.fraction_warmup_steps),
                 beta1=args.beta1, beta2=args.beta2,
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+                skip_nonfinite=getattr(args, "skip_nonfinite", 0),
             )
             loss_fn, _ = make_mc_steps(bundle, tokenizer.mask_token_id,
                                        item.loader_train.dataset.mc)

@@ -66,7 +66,10 @@ def _device_batch(batch_dict, tokenizer, args, mesh=None):
 
 def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args, mesh,
                     profiler=None, guard=None):
+    from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+
     metric_logger = MetricLogger()
+    nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
     rng = jax.random.PRNGKey(args.seed)
     # tokenize + device_put run one batch ahead in a background thread, so
     # the H2D transfer overlaps this step's blocking float(loss) fetch
@@ -84,9 +87,8 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
         else:
             state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
-        if not np.isfinite(loss):
-            raise RuntimeError(f"Loss is {loss}, stopping training")
-        metric_logger.update(loss=loss)
+        if not nf_policy.step(loss):
+            metric_logger.update(loss=loss)
         if guard is not None and guard.preempted:
             # finish cleanly after the in-flight step; caller saves
             break
@@ -177,6 +179,7 @@ def main(args):
                       args.fraction_warmup_steps),
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+        skip_nonfinite=getattr(args, "skip_nonfinite", 0),
     )
     loss_fn = make_mlm_loss_fn(
         bundle.forward, bundle.cfg, bundle.vt,
@@ -268,9 +271,12 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
                 save_params(ckpt_dir, state.trainable, {"epoch": epoch},
                             fmt=args.ckpt_format,
                             block=args.ckpt_format != "orbax")
-                from frozenbilm_tpu.utils.checkpoint import save_opt_state
+                from frozenbilm_tpu.utils.checkpoint import (
+                    prune_checkpoints, save_opt_state)
 
                 save_opt_state(ckpt_dir, state.opt_state)
+                prune_checkpoints(args.save_dir,
+                                  getattr(args, "keep_ckpts", 0))
         log.append(log_entry)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:

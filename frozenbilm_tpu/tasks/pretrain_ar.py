@@ -126,6 +126,7 @@ def main(args):
                       args.fraction_warmup_steps),
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+        skip_nonfinite=getattr(args, "skip_nonfinite", 0),
     )
     trainer, state, frozen = make_trainer_and_state(
         make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, params,
@@ -152,14 +153,16 @@ def main(args):
     log = []
     for epoch in range(args.start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
+        from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+
         ml = MetricLogger()
+        nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
         for batch_dict in ml.log_every(loader_train, args.print_freq, f"Epoch: [{epoch}]"):
             db = _device_batch(batch_dict, tokenizer, args, mesh)
             state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
             loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                raise RuntimeError(f"Loss is {loss}, stopping training")
-            ml.update(loss=loss)
+            if not nf_policy.step(loss):
+                ml.update(loss=loss)
         entry = {"epoch": epoch, "train_loss": ml.meters["loss"].global_avg}
         if (epoch + 1) % args.eval_skip == 0:
             entry.update({f"val_{k}": v for k, v in run_eval().items()})
@@ -167,6 +170,10 @@ def main(args):
                 save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
                             state.trainable, {"epoch": epoch},
                             fmt=args.ckpt_format)
+                from frozenbilm_tpu.utils.checkpoint import prune_checkpoints
+
+                prune_checkpoints(args.save_dir,
+                                  getattr(args, "keep_ckpts", 0))
         log.append(entry)
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:

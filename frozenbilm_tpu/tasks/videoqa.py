@@ -242,7 +242,10 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
 def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
                     epoch, dataset_name, args, rng, guard=None):
+    from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+
     metric_logger = MetricLogger()
+    nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
     header = f"Epoch: [{epoch}]"
     for batch_dict in metric_logger.log_every(data_loader, args.print_freq, header):
         encoded = _encode(tokenizer, batch_dict["text"], args, strip=False)
@@ -254,9 +257,8 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
             db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
-        if not np.isfinite(loss):
-            raise RuntimeError(f"Loss is {loss}, stopping training")
-        metric_logger.update(loss=loss)
+        if not nf_policy.step(loss):
+            metric_logger.update(loss=loss)
         if guard is not None and guard.preempted:
             break
     metric_logger.synchronize_between_processes()
@@ -351,6 +353,7 @@ def main(args):
                               args.fraction_warmup_steps),
                 beta1=args.beta1, beta2=args.beta2,
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+                skip_nonfinite=getattr(args, "skip_nonfinite", 0),
             )
             loss_fn, _ = make_qa_steps(bundle, tokenizer.mask_token_id, item.dataset_name)
             n_proc = jax.process_count()

@@ -49,7 +49,13 @@ def make_optimizer(
     beta2: float = 0.95,
     weight_decay: float = 0.0,
     clip_max_norm: float = 0.1,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
+    """skip_nonfinite=N (--skip_nonfinite) wraps the chain in
+    optax.apply_if_finite: a step with any non-finite gradient leaves params
+    and inner optimizer state untouched (the in-jit half of the skip policy;
+    NonfiniteLossPolicy is the host half). N bounds consecutive bad steps.
+    0 = reference behavior (no guard; driver aborts, main.py:75-78)."""
     tx = []
     if clip_max_norm:
         tx.append(optax.clip_by_global_norm(clip_max_norm))
@@ -57,4 +63,42 @@ def make_optimizer(
         tx.append(optax.adamw(lr_schedule, b1=beta1, b2=beta2, weight_decay=weight_decay))
     else:
         tx.append(optax.adam(lr_schedule, b1=beta1, b2=beta2))
-    return optax.chain(*tx)
+    chain = optax.chain(*tx)
+    if skip_nonfinite > 0:
+        chain = optax.apply_if_finite(chain, max_consecutive_errors=skip_nonfinite)
+    return chain
+
+
+class NonfiniteLossPolicy:
+    """Host-side half of --skip_nonfinite (pairs with make_optimizer's
+    apply_if_finite wrapper, which already dropped the in-jit update).
+
+    max_skips=0 reproduces the reference: any non-finite loss aborts
+    training (main.py:75-78, sys.exit). max_skips=N tolerates up to N
+    CONSECUTIVE non-finite steps — the step is logged as skipped and
+    excluded from metrics — then aborts."""
+
+    def __init__(self, max_skips: int = 0):
+        self.max_skips = max_skips
+        self.streak = 0
+        self.total_skipped = 0
+
+    def step(self, loss: float) -> bool:
+        """Returns True when this step was non-finite and should be skipped
+        from metric logging; raises when the policy is exhausted."""
+        import numpy as np
+
+        if np.isfinite(loss):
+            self.streak = 0
+            return False
+        if not self.max_skips:
+            raise RuntimeError(f"Loss is {loss}, stopping training")
+        self.streak += 1
+        self.total_skipped += 1
+        if self.streak > self.max_skips:
+            raise RuntimeError(
+                f"{self.streak} consecutive non-finite losses "
+                f"(--skip_nonfinite {self.max_skips}), stopping training")
+        print(f"warning: non-finite loss {loss}; update skipped "
+              f"({self.streak}/{self.max_skips} consecutive)")
+        return True

@@ -124,6 +124,25 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     return tree, meta
 
 
+def prune_checkpoints(save_dir: str, keep: int) -> None:
+    """Retention policy: keep only the newest `keep` epoch-numbered
+    checkpointNNNN dirs under save_dir (--keep_ckpts). best_model, the
+    rolling ckpt dir, and checkpoint_preempt are never touched. keep<=0
+    keeps everything (the reference's behavior — it never prunes)."""
+    if keep <= 0 or not os.path.isdir(save_dir):
+        return
+    import re
+    import shutil
+
+    pat = re.compile(r"^checkpoint(\d{4})$")
+    numbered = sorted(e for e in os.listdir(save_dir) if pat.match(e))
+    if len(numbered) <= keep:
+        return
+    wait_for_pending_saves()  # an async save of an old epoch may be in flight
+    for name in numbered[:-keep]:
+        shutil.rmtree(os.path.join(save_dir, name))
+
+
 def save_opt_state(path: str, opt_state) -> None:
     """Save an optax state pytree (arbitrary namedtuples) by leaf index."""
     import jax

@@ -238,3 +238,65 @@ def test_grad_accum_on_mesh_and_validation():
     st2, fz2 = create_train_state(params, VT, tx)
     with pytest.raises(ValueError, match="not divisible"):
         bad.train_step(st2, fz2, _make_batch(n=8), jax.random.PRNGKey(0))
+
+
+def test_skip_nonfinite_guard():
+    """--skip_nonfinite: a NaN batch leaves params untouched in-jit
+    (optax.apply_if_finite) and NonfiniteLossPolicy tolerates N consecutive
+    bad steps before aborting (reference aborts on the first,
+    main.py:75-78)."""
+    import pytest
+
+    from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1,
+                        skip_nonfinite=2)
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT,
+                               mask_token_id=4, vocab_size=120)
+    trainer = Trainer(loss_fn, tx)
+    state, frozen = create_train_state(params, VT, tx)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.trainable)
+
+    bad = _make_batch()
+    bad["video"] = bad["video"].at[0, 0, 0].set(jnp.nan)
+    state, metrics = trainer.train_step(state, frozen, bad,
+                                        jax.random.PRNGKey(0))
+    assert not np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a following good batch still updates
+    state, metrics = trainer.train_step(state, frozen, _make_batch(),
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                  for a, b in zip(jax.tree.leaves(before),
+                                  jax.tree.leaves(state.trainable)))
+    assert changed
+
+    # host policy: 0 = abort immediately; N = abort after N+1 consecutive
+    with pytest.raises(RuntimeError):
+        NonfiniteLossPolicy(0).step(float("nan"))
+    pol = NonfiniteLossPolicy(2)
+    assert pol.step(float("nan")) and pol.step(float("nan"))
+    with pytest.raises(RuntimeError, match="consecutive"):
+        pol.step(float("nan"))
+    pol2 = NonfiniteLossPolicy(1)
+    assert pol2.step(float("nan"))
+    assert not pol2.step(1.0)  # finite resets the streak
+    assert pol2.step(float("nan"))
+
+
+def test_prune_checkpoints(tmp_path):
+    from frozenbilm_tpu.utils.checkpoint import prune_checkpoints
+
+    for name in ["checkpoint0000", "checkpoint0001", "checkpoint0002",
+                 "checkpoint0003", "best_model", "ckpt", "checkpoint_preempt"]:
+        (tmp_path / name).mkdir()
+    prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["best_model", "checkpoint0002", "checkpoint0003",
+                    "checkpoint_preempt", "ckpt"]
+    prune_checkpoints(str(tmp_path), keep=0)  # 0 = keep everything
+    assert sorted(p.name for p in tmp_path.iterdir()) == left
