@@ -404,6 +404,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="capture an xprof trace window of training steps here")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers on backward (memory saver)")
+    parser.add_argument("--compile_cache", default="",
+                        help="persistent XLA compilation-cache dir: restarted "
+                             "jobs and serving cold-starts reuse compiled "
+                             "executables instead of recompiling")
     parser.add_argument("--keep_ckpts", type=int, default=0,
                         help="retention: keep only the newest N epoch "
                              "checkpoints (best_model/ckpt/preempt never "

@@ -49,6 +49,9 @@ def extract_demo_features(video_path: str, clip_weights: str, args,
 
 
 def main(args, vision_cfg=None):
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     assert args.question_example and args.video_example
 
     print("building model")

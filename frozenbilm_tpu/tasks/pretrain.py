@@ -113,6 +113,9 @@ def evaluate(state, frozen, trainer, tokenizer, data_loader, args, mesh):
 
 
 def main(args):
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

@@ -70,6 +70,9 @@ def _device_batch(batch_dict, tokenizer, args, mesh=None):
 
 
 def main(args):
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

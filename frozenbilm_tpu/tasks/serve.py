@@ -105,9 +105,17 @@ class QAService:
         self.params = _finalize_params(args, bundle, params)
         self.bundle = bundle
         self.batch_size = args.batch_size_val
-        _, self._eval_step = make_qa_steps(
-            bundle, self.tokenizer.mask_token_id, "serve",
-            topk=min(10, len(vocab)))
+        if getattr(args, "program", ""):
+            # pre-exported StableHLO scoring program (scripts/
+            # export_program.py): skips model tracing at startup; must have
+            # been exported at this batch shape / answer vocab / quantize
+            from frozenbilm_tpu.utils.aot import load_program
+
+            self._eval_step = load_program(args.program)
+        else:
+            _, self._eval_step = make_qa_steps(
+                bundle, self.tokenizer.mask_token_id, "serve",
+                topk=min(10, len(vocab)))
 
     def validate(self, payload: Dict) -> None:
         """Reject malformed payloads BEFORE batching, so one bad request
@@ -389,6 +397,10 @@ def get_serve_parser():
     parser.add_argument("--serve_host", default="0.0.0.0")
     parser.add_argument("--serve_window_ms", type=float, default=5.0,
                         help="batching window: wait this long to fill a batch")
+    parser.add_argument("--program", default="",
+                        help="serve a pre-exported StableHLO QA scoring "
+                             "program (scripts/export_program.py) instead of "
+                             "tracing the model at startup")
     parser.add_argument("--serve_max_new_tokens", type=int, default=32,
                         help="AR serving: decode length of the compiled "
                              "program (per-request max_new_tokens truncates)")
@@ -400,6 +412,9 @@ def get_serve_parser():
 
 
 def main(args):
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     server = build_server(args)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} (batch {args.batch_size_val}, "

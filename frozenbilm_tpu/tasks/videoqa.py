@@ -270,6 +270,9 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
 def main(args):
     if args.quantize != "none" and not args.eval:
         raise ValueError("--quantize is inference-only; combine with --eval")
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     init_distributed()
     if is_main_process() and args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

@@ -157,6 +157,9 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 def main(args):
     if args.quantize != "none" and not args.eval:
         raise ValueError("--quantize is inference-only; combine with --eval")
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     init_distributed()
     assert args.eval, "AR VideoQA is eval-only (videoqa_ar.py:194-195)"
     if is_main_process() and args.save_dir:

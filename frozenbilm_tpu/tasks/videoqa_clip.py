@@ -124,6 +124,9 @@ def evaluate(text_params, text_cfg, tokenizer, data_loader, dataset_name, args,
 
 
 def main(args):
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     init_distributed()
     assert args.max_feats == 1, "CLIP baseline uses one frame (videoqa_clip.py:200)"
     if is_main_process() and args.save_dir:

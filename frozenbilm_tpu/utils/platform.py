@@ -43,3 +43,20 @@ def ensure_devices(n_devices: int) -> None:
         f"could not provision {n_devices} devices "
         f"(got {got} on {jax.default_backend()})"
     )
+
+
+def setup_runtime(args) -> None:
+    """Per-driver runtime knobs, called by every task main before first
+    device use. Currently: --compile_cache DIR enables jax's persistent
+    compilation cache — the executable for each (program, shapes, platform)
+    is stored on disk, so restarted jobs and serving cold-starts skip XLA
+    recompilation (first compiles on this backend run 20-40s)."""
+    cache = getattr(args, "compile_cache", "")
+    if cache:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # cache every program regardless of compile time / size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
