@@ -197,7 +197,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
             db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
         loss = float(metrics["loss"])
-        if not nf_policy.step(loss):
+        if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)
     metric_logger.synchronize_between_processes()
     if is_main_process():
@@ -280,8 +280,7 @@ def main(args):
                               args.fraction_warmup_steps),
                 beta1=args.beta1, beta2=args.beta2,
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
-                skip_nonfinite=getattr(args, "skip_nonfinite", 0),
-            )
+                    )
             loss_fn, _ = make_mc_steps(bundle, tokenizer.mask_token_id,
                                        item.loader_train.dataset.mc)
             n_proc = jax.process_count()
@@ -295,7 +294,8 @@ def main(args):
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, bundle.vt, train_mesh,
                 fsdp=getattr(args, "mesh_fsdp", False),
-                grad_accum=getattr(args, "grad_accum", 1))
+                grad_accum=getattr(args, "grad_accum", 1),
+                skip_nonfinite=getattr(args, "skip_nonfinite", 0) > 0)
             best_acc = 0.0
             for epoch in range(args.start_epoch, args.epochs):
                 item.loader_train.set_epoch(epoch)

@@ -87,7 +87,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
         else:
             state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
-        if not nf_policy.step(loss):
+        if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)
         if guard is not None and guard.preempted:
             # finish cleanly after the in-flight step; caller saves
@@ -182,7 +182,6 @@ def main(args):
                       args.fraction_warmup_steps),
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
-        skip_nonfinite=getattr(args, "skip_nonfinite", 0),
     )
     loss_fn = make_mlm_loss_fn(
         bundle.forward, bundle.cfg, bundle.vt,
@@ -195,7 +194,8 @@ def main(args):
     trainer, state, frozen = make_trainer_and_state(
         loss_fn, tx, params, bundle.vt, mesh,
         fsdp=getattr(args, "mesh_fsdp", False),
-        grad_accum=getattr(args, "grad_accum", 1))
+        grad_accum=getattr(args, "grad_accum", 1),
+        skip_nonfinite=getattr(args, "skip_nonfinite", 0) > 0)
     if args.resume and args.load and os.path.isdir(args.load) and \
             os.path.exists(os.path.join(args.load, "opt_state.npz")):
         # restore optimizer state + start epoch (reference main.py:241-243)

@@ -129,12 +129,12 @@ def main(args):
                       args.fraction_warmup_steps),
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
-        skip_nonfinite=getattr(args, "skip_nonfinite", 0),
     )
     trainer, state, frozen = make_trainer_and_state(
         make_ar_loss_fn(bundle, bundle_remat=args.remat), tx, params,
         bundle.vt, mesh, fsdp=getattr(args, "mesh_fsdp", False),
-        grad_accum=getattr(args, "grad_accum", 1))
+        grad_accum=getattr(args, "grad_accum", 1),
+        skip_nonfinite=getattr(args, "skip_nonfinite", 0) > 0)
     if is_main_process():
         print("number of trainable params:", count_params(state.trainable))
 
@@ -164,7 +164,7 @@ def main(args):
             db = _device_batch(batch_dict, tokenizer, args, mesh)
             state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
             loss = float(metrics["loss"])
-            if not nf_policy.step(loss):
+            if not nf_policy.step(loss, float(metrics["grad_norm"])):
                 ml.update(loss=loss)
         entry = {"epoch": epoch, "train_loss": ml.meters["loss"].global_avg}
         if (epoch + 1) % args.eval_skip == 0:
@@ -172,7 +172,8 @@ def main(args):
             if args.save_dir and is_main_process():
                 save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
                             state.trainable, {"epoch": epoch},
-                            fmt=args.ckpt_format)
+                            fmt=args.ckpt_format,
+                            block=args.ckpt_format != "orbax")
                 from frozenbilm_tpu.utils.checkpoint import prune_checkpoints
 
                 prune_checkpoints(args.save_dir,
@@ -181,6 +182,9 @@ def main(args):
         if args.save_dir and is_main_process():
             with open(os.path.join(args.save_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(entry) + "\n")
+    from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
+
+    wait_for_pending_saves()
     return log
 
 

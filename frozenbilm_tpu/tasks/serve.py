@@ -377,6 +377,10 @@ def build_server(args) -> ThreadingHTTPServer:
     from frozenbilm_tpu.models import family_of
 
     if family_of(args.model_name) in ("gptneo", "gptj"):
+        if getattr(args, "program", ""):
+            raise ValueError(
+                "--program exports cover the encoder /qa scoring program "
+                "only; GPT generate serving always traces at startup")
         service = GenService(args)
         # warm the compile before accepting traffic
         service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])

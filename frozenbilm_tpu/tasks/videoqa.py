@@ -257,7 +257,7 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
             db = shard_batch(trainer.mesh, db)
         state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
-        if not nf_policy.step(loss):
+        if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)
         if guard is not None and guard.preempted:
             break
@@ -356,8 +356,7 @@ def main(args):
                               args.fraction_warmup_steps),
                 beta1=args.beta1, beta2=args.beta2,
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
-                skip_nonfinite=getattr(args, "skip_nonfinite", 0),
-            )
+                    )
             loss_fn, _ = make_qa_steps(bundle, tokenizer.mask_token_id, item.dataset_name)
             n_proc = jax.process_count()
             train_mesh = mesh if (mesh is not None and
@@ -370,7 +369,8 @@ def main(args):
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, bundle.vt, train_mesh,
                 fsdp=getattr(args, "mesh_fsdp", False),
-                grad_accum=getattr(args, "grad_accum", 1))
+                grad_accum=getattr(args, "grad_accum", 1),
+                skip_nonfinite=getattr(args, "skip_nonfinite", 0) > 0)
             if args.resume and args.load and os.path.isdir(args.load) and \
                     os.path.exists(os.path.join(args.load, "opt_state.npz")):
                 from frozenbilm_tpu.utils.checkpoint import load_opt_state
@@ -431,11 +431,15 @@ def main(args):
                 if args.save_dir and is_main_process():
                     ckpt_dir = os.path.join(args.save_dir, "ckpt")
                     save_params(ckpt_dir, state.trainable, {"epoch": epoch},
-                                fmt=args.ckpt_format)
+                                fmt=args.ckpt_format,
+                                block=args.ckpt_format != "orbax")
                     from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
                     save_opt_state(ckpt_dir, state.opt_state)
             guard.__exit__()
+            from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
+
+            wait_for_pending_saves()  # rolling-ckpt async save must land
             # reload best before final test (videoqa.py:489-498)
             if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
                 best, _ = load_params(os.path.join(args.save_dir, "best_model"))

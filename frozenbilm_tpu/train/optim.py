@@ -49,13 +49,7 @@ def make_optimizer(
     beta2: float = 0.95,
     weight_decay: float = 0.0,
     clip_max_norm: float = 0.1,
-    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
-    """skip_nonfinite=N (--skip_nonfinite) wraps the chain in
-    optax.apply_if_finite: a step with any non-finite gradient leaves params
-    and inner optimizer state untouched (the in-jit half of the skip policy;
-    NonfiniteLossPolicy is the host half). N bounds consecutive bad steps.
-    0 = reference behavior (no guard; driver aborts, main.py:75-78)."""
     tx = []
     if clip_max_norm:
         tx.append(optax.clip_by_global_norm(clip_max_norm))
@@ -63,42 +57,45 @@ def make_optimizer(
         tx.append(optax.adamw(lr_schedule, b1=beta1, b2=beta2, weight_decay=weight_decay))
     else:
         tx.append(optax.adam(lr_schedule, b1=beta1, b2=beta2))
-    chain = optax.chain(*tx)
-    if skip_nonfinite > 0:
-        chain = optax.apply_if_finite(chain, max_consecutive_errors=skip_nonfinite)
-    return chain
+    return optax.chain(*tx)
 
 
 class NonfiniteLossPolicy:
-    """Host-side half of --skip_nonfinite (pairs with make_optimizer's
-    apply_if_finite wrapper, which already dropped the in-jit update).
+    """Host-side half of --skip_nonfinite (pairs with the Trainer's in-jit
+    where-selection, which drops the update and preserves the optimizer
+    state on any non-finite loss/grad — see Trainer(skip_nonfinite=True)).
 
     max_skips=0 reproduces the reference: any non-finite loss aborts
     training (main.py:75-78, sys.exit). max_skips=N tolerates up to N
     CONSECUTIVE non-finite steps — the step is logged as skipped and
-    excluded from metrics — then aborts."""
+    excluded from metrics — then aborts. The streak is per-epoch (each
+    train loop builds a fresh policy); since the in-jit guard never applies
+    a bad update, a streak straddling an epoch boundary only delays the
+    abort, it cannot corrupt params."""
 
     def __init__(self, max_skips: int = 0):
         self.max_skips = max_skips
         self.streak = 0
         self.total_skipped = 0
 
-    def step(self, loss: float) -> bool:
+    def step(self, loss: float, grad_norm: float = 0.0) -> bool:
         """Returns True when this step was non-finite and should be skipped
-        from metric logging; raises when the policy is exhausted."""
+        from metric logging; raises when the policy is exhausted. grad_norm
+        catches backward-only overflow (finite loss, non-finite grads)."""
         import numpy as np
 
-        if np.isfinite(loss):
+        if np.isfinite(loss) and np.isfinite(grad_norm):
             self.streak = 0
             return False
         if not self.max_skips:
-            raise RuntimeError(f"Loss is {loss}, stopping training")
+            raise RuntimeError(
+                f"Loss is {loss} (grad norm {grad_norm}), stopping training")
         self.streak += 1
         self.total_skipped += 1
         if self.streak > self.max_skips:
             raise RuntimeError(
-                f"{self.streak} consecutive non-finite losses "
+                f"{self.streak} consecutive non-finite steps "
                 f"(--skip_nonfinite {self.max_skips}), stopping training")
-        print(f"warning: non-finite loss {loss}; update skipped "
-              f"({self.streak}/{self.max_skips} consecutive)")
+        print(f"warning: non-finite step (loss {loss}, grad norm {grad_norm});"
+              f" update dropped ({self.streak}/{self.max_skips} consecutive)")
         return True

@@ -81,7 +81,8 @@ def fsdp_state_shardings(mesh: Mesh, state: TrainState, frozen,
 
 
 def make_trainer_and_state(loss_fn, tx, params, vt, mesh: Optional[Mesh],
-                           fsdp: bool = False, grad_accum: int = 1):
+                           fsdp: bool = False, grad_accum: int = 1,
+                           skip_nonfinite: bool = False):
     """The shared driver plumbing: partition + place state, build the
     Trainer with matching shardings. fsdp=True stores params/opt-state
     sharded over 'data' (parallel/fsdp.py) — the layout for models whose
@@ -92,7 +93,7 @@ def make_trainer_and_state(loss_fn, tx, params, vt, mesh: Optional[Mesh],
         st_sh, fz_sh = fsdp_state_shardings(mesh, state, frozen)
     trainer = Trainer(loss_fn, tx, mesh=mesh,
                       state_shardings=st_sh, frozen_shardings=fz_sh,
-                      grad_accum=grad_accum)
+                      grad_accum=grad_accum, skip_nonfinite=skip_nonfinite)
     return trainer, state, frozen
 
 
@@ -111,6 +112,7 @@ class Trainer:
         state_shardings=None,
         frozen_shardings=None,
         grad_accum: int = 1,
+        skip_nonfinite: bool = False,
     ):
         """state_shardings/frozen_shardings (pytrees of NamedSharding
         matching TrainState / the frozen tree, e.g. from
@@ -126,10 +128,20 @@ class Trainer:
         memory drops ~N-fold; the optimizer update count is unchanged. The
         batch's leading dim must be divisible by N (and by N x data-axis
         under a mesh). The microbatch split is leading-dim-major, so each
-        device's shard splits locally — no cross-device resharding."""
+        device's shard splits locally — no cross-device resharding.
+
+        skip_nonfinite=True makes a step with non-finite loss or grads a
+        no-op via jnp.where selection: params and optimizer state keep
+        their previous values, so a bad step can never poison training.
+        Implemented in-step (not as an optax wrapper) so the opt_state
+        pytree is IDENTICAL with the flag on or off — checkpoints resume
+        across a --skip_nonfinite change. Hosts observe bad steps through
+        the metrics' non-finite loss/grad_norm (NonfiniteLossPolicy).
+        """
         if grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
         self.grad_accum = grad_accum
+        self.skip_nonfinite = skip_nonfinite
         self.loss_fn = loss_fn
         self.tx = tx
         self.mesh = mesh
@@ -166,11 +178,25 @@ class Trainer:
         else:
             (loss, metrics), grads = self._accumulate(
                 grad_fn, state.trainable, batch, step_rng)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        if self.skip_nonfinite:
+            # drop the whole update on a bad step: zero the grads (so the
+            # inner tx can't produce NaN) and keep the old opt_state via
+            # where-selection. The opt_state pytree is identical either
+            # way, so checkpoints stay resume-compatible across the flag.
+            ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad_norm"])
+            safe = jax.tree.map(lambda g: jnp.where(ok, g, 0), grads)
+            updates, opt_new = self.tx.update(safe, state.opt_state,
+                                              state.trainable)
+            opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                     opt_new, state.opt_state)
+            updates = jax.tree.map(lambda u: jnp.where(ok, u, 0), updates)
+        else:
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
         new_state = TrainState(state.step + 1, trainable, opt_state)
         return new_state, metrics
 
@@ -183,11 +209,20 @@ class Trainer:
         spread across devices (no resharding collectives)."""
         accum = self.grad_accum
 
+        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+
         def split(x):
             b = x.shape[0]
             if b % accum:
                 raise ValueError(
                     f"batch dim {b} not divisible by grad_accum={accum}")
+            if (b // accum) % n_data:
+                # a microbatch that doesn't fill the data axis would force
+                # GSPMD resharding + idle devices — refuse loudly
+                raise ValueError(
+                    f"microbatch {b}//{accum}={b // accum} not divisible by "
+                    f"data axis {n_data}; grad_accum requires batch % "
+                    f"(grad_accum * data_axis) == 0")
             x = x.reshape(b // accum, accum, *x.shape[1:]).swapaxes(0, 1)
             if self.mesh is not None:
                 x = jax.lax.with_sharding_constraint(

@@ -138,7 +138,9 @@ def prune_checkpoints(save_dir: str, keep: int) -> None:
     numbered = sorted(e for e in os.listdir(save_dir) if pat.match(e))
     if len(numbered) <= keep:
         return
-    wait_for_pending_saves()  # an async save of an old epoch may be in flight
+    # No drain needed: save_params serializes async saves (each new save
+    # waits out the previous), so only the NEWEST numbered dir can be
+    # in flight — and keep >= 1 guarantees it is never pruned.
     for name in numbered[:-keep]:
         shutil.rmtree(os.path.join(save_dir, name))
 
@@ -211,6 +213,14 @@ def load_any_checkpoint(path: str, template: Dict, cfg, family: str) -> Dict:
             if os.path.exists(p):
                 sd = _read_hf_weights(p)
                 return _overlay_family(template, sd, cfg, family)
+        if os.path.exists(os.path.join(path, "meta.json")):
+            # meta/opt_state are written before an async orbax param save is
+            # durable; a crash in that window leaves this marker without
+            # params — point the user at the previous intact checkpoint
+            raise FileNotFoundError(
+                f"incomplete checkpoint at {path}: meta.json exists but no "
+                "params (process likely died mid-save); load an earlier "
+                "checkpoint")
         raise FileNotFoundError(f"no checkpoint found under {path}")
     if path.endswith((".pth", ".pt", ".bin")):
         sd = load_pth_state_dict(path)

@@ -238,25 +238,39 @@ def test_grad_accum_on_mesh_and_validation():
     st2, fz2 = create_train_state(params, VT, tx)
     with pytest.raises(ValueError, match="not divisible"):
         bad.train_step(st2, fz2, _make_batch(n=8), jax.random.PRNGKey(0))
+    # microbatch must still fill the data axis (16/4=4 rows on 8 devices
+    # would force resharding + idle chips — refused at trace time).
+    # fresh params: the earlier donated train_step consumed the dev-0
+    # buffers the replicated state aliased
+    bad_mesh = Trainer(loss_fn, tx, mesh=mesh, grad_accum=4)
+    st3, fz3 = create_train_state(_params(), VT, tx, mesh=mesh)
+    with pytest.raises(ValueError, match="data axis"):
+        bad_mesh.train_step(st3, fz3, shard_batch(mesh, _make_batch(n=16)),
+                            jax.random.PRNGKey(0))
 
 
 def test_skip_nonfinite_guard():
-    """--skip_nonfinite: a NaN batch leaves params untouched in-jit
-    (optax.apply_if_finite) and NonfiniteLossPolicy tolerates N consecutive
-    bad steps before aborting (reference aborts on the first,
-    main.py:75-78)."""
+    """--skip_nonfinite: a NaN batch leaves params AND optimizer state
+    untouched in-jit (where-selection in the train step — opt_state pytree
+    is identical with the flag on/off, so checkpoints stay resume-
+    compatible), and NonfiniteLossPolicy tolerates N consecutive bad steps
+    before aborting (reference aborts on the first, main.py:75-78)."""
     import pytest
 
     from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
 
     params = _params()
-    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1,
-                        skip_nonfinite=2)
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1)
     loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT,
                                mask_token_id=4, vocab_size=120)
-    trainer = Trainer(loss_fn, tx)
+    trainer = Trainer(loss_fn, tx, skip_nonfinite=True)
     state, frozen = create_train_state(params, VT, tx)
+    # same optimizer, same state topology whether the guard is on or off
+    plain_state, _ = create_train_state(params, VT, tx)
+    assert (jax.tree.structure(state.opt_state)
+            == jax.tree.structure(plain_state.opt_state))
     before = jax.tree.map(lambda x: np.asarray(x).copy(), state.trainable)
+    opt_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.opt_state)
 
     bad = _make_batch()
     bad["video"] = bad["video"].at[0, 0, 0].set(jnp.nan)
@@ -264,6 +278,9 @@ def test_skip_nonfinite_guard():
                                         jax.random.PRNGKey(0))
     assert not np.isfinite(float(metrics["loss"]))
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_before),
+                    jax.tree.leaves(state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # a following good batch still updates
@@ -286,6 +303,9 @@ def test_skip_nonfinite_guard():
     assert pol2.step(float("nan"))
     assert not pol2.step(1.0)  # finite resets the streak
     assert pol2.step(float("nan"))
+    # backward-only overflow: finite loss, non-finite grad norm still counts
+    with pytest.raises(RuntimeError):
+        NonfiniteLossPolicy(0).step(1.0, float("inf"))
 
 
 def test_prune_checkpoints(tmp_path):
