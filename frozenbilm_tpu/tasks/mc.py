@@ -310,8 +310,11 @@ def main(args):
                     if args.save_dir and acc > best_acc:
                         best_acc = acc
                         if is_main_process():
+                            from frozenbilm_tpu.utils.checkpoint import ckpt_meta
+
                             save_params(os.path.join(args.save_dir, "best_model"),
-                                        state.trainable, {"epoch": epoch, "acc": acc},
+                                        state.trainable,
+                                        ckpt_meta(args, epoch=epoch, acc=acc),
                                         fmt=args.ckpt_format)
             if args.save_dir and os.path.isdir(os.path.join(args.save_dir, "best_model")):
                 from frozenbilm_tpu.utils.checkpoint import overlay_into

@@ -254,7 +254,8 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
         if guard.preempted:
             path = save_preempt_checkpoint(
                 args.save_dir, state, epoch=epoch,
-                step=int(train_stats.get("steps", 0)), fmt=args.ckpt_format)
+                step=int(train_stats.get("steps", 0)), fmt=args.ckpt_format,
+                args=args)
             if is_main_process():
                 print(f"SIGTERM: saved preemption checkpoint to {path}; "
                       f"resume with --resume --load {path}")
@@ -271,7 +272,10 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
                 ckpt_dir = os.path.join(args.save_dir, f"checkpoint{epoch:04}")
                 # orbax saves issue async: serialization overlaps the next
                 # epoch; wait_for_pending_saves() runs before return/preempt
-                save_params(ckpt_dir, state.trainable, {"epoch": epoch},
+                from frozenbilm_tpu.utils.checkpoint import ckpt_meta
+
+                save_params(ckpt_dir, state.trainable,
+                            ckpt_meta(args, epoch=epoch),
                             fmt=args.ckpt_format,
                             block=args.ckpt_format != "orbax")
                 from frozenbilm_tpu.utils.checkpoint import (

@@ -170,8 +170,10 @@ def main(args):
         if (epoch + 1) % args.eval_skip == 0:
             entry.update({f"val_{k}": v for k, v in run_eval().items()})
             if args.save_dir and is_main_process():
+                from frozenbilm_tpu.utils.checkpoint import ckpt_meta
+
                 save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
-                            state.trainable, {"epoch": epoch},
+                            state.trainable, ckpt_meta(args, epoch=epoch),
                             fmt=args.ckpt_format,
                             block=args.ckpt_format != "orbax")
                 from frozenbilm_tpu.utils.checkpoint import prune_checkpoints

@@ -49,7 +49,8 @@ from frozenbilm_tpu.parallel.mesh import (
 from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
 from frozenbilm_tpu.train.partition import count_params, merge_params, partition_params
 from frozenbilm_tpu.train.trainer import TrainState, make_trainer_and_state
-from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, load_params, save_params
+from frozenbilm_tpu.utils.checkpoint import (ckpt_meta, load_any_checkpoint,
+                                             load_params, save_params)
 from frozenbilm_tpu.utils.metrics import MetricLogger
 
 
@@ -406,7 +407,7 @@ def main(args):
                 if guard.preempted:
                     path = save_preempt_checkpoint(
                         args.save_dir, state, epoch=epoch, step=-1,
-                        fmt=args.ckpt_format)
+                        fmt=args.ckpt_format, args=args)
                     if is_main_process():
                         print(f"SIGTERM: saved preemption checkpoint to "
                               f"{path}; resume with --resume --load {path}")
@@ -424,13 +425,14 @@ def main(args):
                             save_params(
                                 os.path.join(args.save_dir, "best_model"),
                                 state.trainable,
-                                {"epoch": epoch, "acc1": out["acc1"]},
+                                ckpt_meta(args, epoch=epoch,
+                                          acc1=out["acc1"]),
                                 fmt=args.ckpt_format,
                             )
                     log_stats.append({"epoch": epoch, **{f"val_{k}": v for k, v in out.items()}})
                 if args.save_dir and is_main_process():
                     ckpt_dir = os.path.join(args.save_dir, "ckpt")
-                    save_params(ckpt_dir, state.trainable, {"epoch": epoch},
+                    save_params(ckpt_dir, state.trainable, ckpt_meta(args, epoch=epoch),
                                 fmt=args.ckpt_format,
                                 block=args.ckpt_format != "orbax")
                     from frozenbilm_tpu.utils.checkpoint import save_opt_state

@@ -54,7 +54,8 @@ class PreemptionGuard:
 
 
 def save_preempt_checkpoint(save_dir: str, state, *, epoch: int,
-                            step: int, fmt: str = "npz") -> Optional[str]:
+                            step: int, fmt: str = "npz",
+                            args=None) -> Optional[str]:
     """Write <save_dir>/checkpoint_preempt (trainable + opt state + meta).
 
     Returns the checkpoint path, or None when save_dir is empty or this is
@@ -67,7 +68,11 @@ def save_preempt_checkpoint(save_dir: str, state, *, epoch: int,
     path = os.path.join(save_dir, "checkpoint_preempt")
     # epoch-1 in meta: the resume convention reads meta['epoch']+1 as
     # start_epoch, and a mid-epoch preempt must re-run the current epoch
+    from frozenbilm_tpu.utils.checkpoint import ckpt_meta
+
     save_params(path, state.trainable,
+                ckpt_meta(args, epoch=epoch - 1, preempted_epoch=epoch,
+                          preempted_step=step) if args is not None else
                 {"epoch": epoch - 1, "preempted_epoch": epoch,
                  "preempted_step": step}, fmt=fmt)
     save_opt_state(path, state.opt_state)

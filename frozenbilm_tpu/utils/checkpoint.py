@@ -124,6 +124,14 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     return tree, meta
 
 
+def ckpt_meta(args, **extra) -> Dict[str, Any]:
+    """Checkpoint metadata: epoch/metrics plus the full flag namespace,
+    mirroring the reference's torch.save({'args': args, ...})
+    (main.py:292-300) so a checkpoint records how it was produced.
+    Non-JSON values are stringified at dump time (default=str)."""
+    return {**extra, "args": dict(sorted(vars(args).items()))}
+
+
 def prune_checkpoints(save_dir: str, keep: int) -> None:
     """Retention policy: keep only the newest `keep` epoch-numbered
     checkpointNNNN dirs under save_dir (--keep_ckpts). best_model, the
