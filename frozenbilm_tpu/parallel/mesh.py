@@ -81,10 +81,29 @@ class MeshSpec:
     model: int = 1
 
 
+def order_devices_hybrid(devices, slice_index_of=None):
+    """Order devices slice-major for multi-slice (DCN-connected) pods.
+
+    With devices grouped by slice, reshaping into a (data, model) mesh
+    keeps every 'model' (tensor-parallel) group and each contiguous run of
+    'data' neighbors INSIDE one slice, so TP collectives and the intra-
+    slice stage of XLA's hierarchical grad all-reduce ride ICI; only the
+    cross-slice combine crosses DCN (the scaling-book layout; the reference
+    has no multi-slice story at all — its NCCL DP is single-cluster,
+    util/dist.py:226). Single-slice (or CPU) device lists come back
+    unchanged. The sort is stable, preserving jax.devices() order within a
+    slice."""
+    key = slice_index_of or (lambda d: getattr(d, "slice_index", 0) or 0)
+    return sorted(devices, key=key)
+
+
 def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
     """Build a 2D (data, model) mesh. 'model' is the tensor-parallel axis
-    (used by GPT-J/Neo shardings); encoder models typically run model=1."""
+    (used by GPT-J/Neo shardings); encoder models typically run model=1.
+    Multi-slice device lists are ordered slice-major first
+    (order_devices_hybrid) so model groups never straddle DCN."""
     devices = devices if devices is not None else jax.devices()
+    devices = order_devices_hybrid(devices)
     n = len(devices)
     model = max(1, spec.model)
     data = spec.data if spec.data > 0 else n // model

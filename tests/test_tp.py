@@ -114,3 +114,29 @@ def test_gptneo_greedy_cached_under_tp_matches_single_device():
 
     out = np.asarray(gen(sharded, *args))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_order_devices_hybrid():
+    """Multi-slice layout: devices sort slice-major (stable within a slice)
+    so (data, model) reshapes keep TP groups inside one slice; single-slice
+    lists are unchanged."""
+    import jax
+
+    from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh, order_devices_hybrid
+
+    devs = jax.devices()[:8]
+    # CPU devices have no slice_index -> identity ordering
+    assert order_devices_hybrid(devs) == list(devs)
+
+    # synthetic 2-slice assignment, interleaved like a worst-case enumeration
+    slice_of = {d: i % 2 for i, d in enumerate(devs)}
+    ordered = order_devices_hybrid(devs, slice_index_of=lambda d: slice_of[d])
+    assert [slice_of[d] for d in ordered] == [0] * 4 + [1] * 4
+    # stable: within a slice, original order preserved
+    assert ordered[:4] == [d for d in devs if slice_of[d] == 0]
+
+    # a (4, 2) mesh over the ordered list keeps each model pair intra-slice
+    mesh = make_mesh(MeshSpec(data=4, model=2), devices=ordered)
+    grid = mesh.devices
+    for row in grid:
+        assert slice_of[row[0]] == slice_of[row[1]]
