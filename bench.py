@@ -405,7 +405,20 @@ def main():
     import jax
 
     small = os.environ.get("FROZENBILM_BENCH_SMALL", "") == "1"
-    device_kind = jax.devices()[0].device_kind
+    # the axon (remote-TPU) claim can lag minutes after another process
+    # released the chip (CLAUDE.md); ride out transient registration
+    # failures instead of losing the whole bench run to one
+    attempts = int(os.environ.get("FROZENBILM_BENCH_ATTEMPTS", "10"))
+    for i in range(attempts):
+        try:
+            device_kind = jax.devices()[0].device_kind
+            break
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# device init failed ({e}); retry {i + 1}/{attempts}",
+                  flush=True)
+            time.sleep(60)
     peak = peak_bf16_flops(device_kind)
 
     def mfu(tflops):
