@@ -280,7 +280,7 @@ def main(args):
                               args.fraction_warmup_steps),
                 beta1=args.beta1, beta2=args.beta2,
                 weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
-                    )
+            )
             loss_fn, _ = make_mc_steps(bundle, tokenizer.mask_token_id,
                                        item.loader_train.dataset.mc)
             n_proc = jax.process_count()

@@ -270,17 +270,15 @@ def _train_loop(state, frozen, trainer, tokenizer, loader_train, loader_val,
             log_entry.update({f"val_{k}": v for k, v in val_stats.items()})
             if args.save_dir and is_main_process():
                 ckpt_dir = os.path.join(args.save_dir, f"checkpoint{epoch:04}")
+                from frozenbilm_tpu.utils.checkpoint import (
+                    ckpt_meta, prune_checkpoints, save_opt_state)
+
                 # orbax saves issue async: serialization overlaps the next
                 # epoch; wait_for_pending_saves() runs before return/preempt
-                from frozenbilm_tpu.utils.checkpoint import ckpt_meta
-
                 save_params(ckpt_dir, state.trainable,
                             ckpt_meta(args, epoch=epoch),
                             fmt=args.ckpt_format,
                             block=args.ckpt_format != "orbax")
-                from frozenbilm_tpu.utils.checkpoint import (
-                    prune_checkpoints, save_opt_state)
-
                 save_opt_state(ckpt_dir, state.opt_state)
                 prune_checkpoints(args.save_dir,
                                   getattr(args, "keep_ckpts", 0))

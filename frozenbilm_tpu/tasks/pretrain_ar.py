@@ -154,10 +154,11 @@ def main(args):
         return stats
 
     log = []
+    from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
+    from frozenbilm_tpu.utils.checkpoint import ckpt_meta, prune_checkpoints
+
     for epoch in range(args.start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
-        from frozenbilm_tpu.train.optim import NonfiniteLossPolicy
-
         ml = MetricLogger()
         nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
         for batch_dict in ml.log_every(loader_train, args.print_freq, f"Epoch: [{epoch}]"):
@@ -170,14 +171,10 @@ def main(args):
         if (epoch + 1) % args.eval_skip == 0:
             entry.update({f"val_{k}": v for k, v in run_eval().items()})
             if args.save_dir and is_main_process():
-                from frozenbilm_tpu.utils.checkpoint import ckpt_meta
-
                 save_params(os.path.join(args.save_dir, f"checkpoint{epoch:04}"),
                             state.trainable, ckpt_meta(args, epoch=epoch),
                             fmt=args.ckpt_format,
                             block=args.ckpt_format != "orbax")
-                from frozenbilm_tpu.utils.checkpoint import prune_checkpoints
-
                 prune_checkpoints(args.save_dir,
                                   getattr(args, "keep_ckpts", 0))
         log.append(entry)

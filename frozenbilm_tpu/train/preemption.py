@@ -72,9 +72,7 @@ def save_preempt_checkpoint(save_dir: str, state, *, epoch: int,
 
     save_params(path, state.trainable,
                 ckpt_meta(args, epoch=epoch - 1, preempted_epoch=epoch,
-                          preempted_step=step) if args is not None else
-                {"epoch": epoch - 1, "preempted_epoch": epoch,
-                 "preempted_step": step}, fmt=fmt)
+                          preempted_step=step), fmt=fmt)
     save_opt_state(path, state.opt_state)
     from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
 

@@ -210,19 +210,19 @@ class Trainer:
         accum = self.grad_accum
 
         n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        b = jax.tree.leaves(batch)[0].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"batch dim {b} not divisible by grad_accum={accum}")
+        if (b // accum) % n_data:
+            # a microbatch that doesn't fill the data axis would force
+            # GSPMD resharding + idle devices — refuse loudly
+            raise ValueError(
+                f"microbatch {b}//{accum}={b // accum} not divisible by "
+                f"data axis {n_data}; grad_accum requires batch % "
+                f"(grad_accum * data_axis) == 0")
 
         def split(x):
-            b = x.shape[0]
-            if b % accum:
-                raise ValueError(
-                    f"batch dim {b} not divisible by grad_accum={accum}")
-            if (b // accum) % n_data:
-                # a microbatch that doesn't fill the data axis would force
-                # GSPMD resharding + idle devices — refuse loudly
-                raise ValueError(
-                    f"microbatch {b}//{accum}={b // accum} not divisible by "
-                    f"data axis {n_data}; grad_accum requires batch % "
-                    f"(grad_accum * data_axis) == 0")
             x = x.reshape(b // accum, accum, *x.shape[1:]).swapaxes(0, 1)
             if self.mesh is not None:
                 x = jax.lax.with_sharding_constraint(

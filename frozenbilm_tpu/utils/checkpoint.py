@@ -128,7 +128,10 @@ def ckpt_meta(args, **extra) -> Dict[str, Any]:
     """Checkpoint metadata: epoch/metrics plus the full flag namespace,
     mirroring the reference's torch.save({'args': args, ...})
     (main.py:292-300) so a checkpoint records how it was produced.
-    Non-JSON values are stringified at dump time (default=str)."""
+    args=None omits the namespace. Non-JSON values are stringified at dump
+    time (default=str)."""
+    if args is None:
+        return dict(extra)
     return {**extra, "args": dict(sorted(vars(args).items()))}
 
 
