@@ -174,7 +174,10 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
     res: Dict = {}
     soft = dataset_name in ("ivqa", "vqa")
 
-    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
+    def _place(batch_dict):
+        """Host encode + H2D for one batch; runs in the prefetch thread so
+        batch k+1's tokenization/transfer overlaps batch k's device step
+        and blocking top-k fetch (same overlap the pretrain loop has)."""
         encoded = _encode(tokenizer, batch_dict["text"], args)
         db = _device_batch(batch_dict, encoded)
         n_real = db["input_ids"].shape[0]
@@ -186,6 +189,13 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
             if pad:
                 db = {k: jnp.concatenate([v] + [v[-1:]] * pad) for k, v in db.items()}
             db = shard_batch(mesh, db)
+        return batch_dict, db, n_real
+
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(iter(data_loader), _place)
+    for batch_dict, db, n_real in metric_logger.log_every(
+            it, args.print_freq, f"{split}:", total=len(data_loader)):
         top_ids, _ = eval_step(params, db["input_ids"], db["attention_mask"],
                                db["video"], db["video_mask"])
         top_ids = fetch_local_rows(mesh, top_ids)[:n_real]

@@ -108,21 +108,36 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
         vm_d = jnp.asarray(video_mask)
         best_score = np.full(nq, -np.inf)
         best_aid = np.full(nq, -1, np.int64)
+
+        def consume(pending_chunk):
+            """Fetch one chunk's device result and fold it into the running
+            best. Chunks combine by max, so consumption order is free."""
+            nonlocal best_score, best_aid
+            probs_d, n, aids_arr = pending_chunk
+            probs = np.asarray(probs_d)[:, :n]
+            pooled = probs.prod(-1)  # product of probabilities (:100)
+            j = pooled.argmax(1)
+            val = pooled[np.arange(nq), j]
+            better = val > best_score
+            best_score = np.where(better, val, best_score)
+            best_aid = np.where(better, aids_arr[j], best_aid)
+
+        # one-chunk pipeline: dispatch chunk k+1 (async) BEFORE fetching
+        # chunk k, so the blocking np.asarray + host argmax bookkeeping
+        # overlap the next chunk's device execution
+        pending = None
         for length, (toks, aids) in groups.items():
             for s in range(0, len(toks), chunk):
                 t = toks[s: s + chunk]
                 n = len(t)
                 if n < chunk:  # pad chunk to a fixed shape for XLA
                     t = np.concatenate([t, np.tile(t[-1:], (chunk - n, 1))])
-                probs = np.asarray(score_fn(
-                    params, vid_d, vm_d, ids_d, am_d, jnp.asarray(t),
-                ))[:, :n]
-                pooled = probs.prod(-1)  # product of probabilities (:100)
-                j = pooled.argmax(1)
-                val = pooled[np.arange(nq), j]
-                better = val > best_score
-                best_score = np.where(better, val, best_score)
-                best_aid = np.where(better, np.asarray(aids)[j], best_aid)
+                out = score_fn(params, vid_d, vm_d, ids_d, am_d, jnp.asarray(t))
+                if pending is not None:
+                    consume(pending)
+                pending = (out, n, np.asarray(aids))
+        if pending is not None:
+            consume(pending)
 
         for qi in range(nq):
             qid = batch_dict["qid"][qi]
