@@ -147,7 +147,9 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
         params = replicate(mesh, params)
     metric_logger = MetricLogger()
     res: Dict = {}
-    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, f"{split}:"):
+    def _place(batch_dict):
+        """Host tokenize (B*mc prompts) + H2D in the prefetch thread, one
+        batch ahead of the device step (same overlap as videoqa eval)."""
         db = _device_batch(batch_dict, tokenizer, args)
         n_real = db["input_ids"].shape[0]
         if mesh is not None:
@@ -156,6 +158,13 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
             if pad:
                 db = {k: jnp.concatenate([v] + [v[-1:]] * pad) for k, v in db.items()}
             db = shard_batch(mesh, db)
+        return batch_dict, db, n_real
+
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(iter(data_loader), _place)
+    for batch_dict, db, n_real in metric_logger.log_every(
+            it, args.print_freq, f"{split}:", total=len(data_loader)):
         probs = fetch_local_rows(mesh, eval_step(
             params, db["input_ids"], db["attention_mask"],
             db["video"], db["video_mask"]))[:n_real]
