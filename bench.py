@@ -258,6 +258,78 @@ def bench_ar_scoring(small: bool):
             "flops_per_item": flops1 / rows}
 
 
+def bench_ar_scoring_prefix(small: bool):
+    """Driver-realistic AR scoring: ONE prefill of the (video+prompt)
+    prefix per question batch, then answer chunks scored against the shared
+    KV cache (tasks/videoqa_ar.py default path; parity-tested vs the tiled
+    scorer). answers/sec counts (question, answer) scorings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTNeoConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptneo import (gptneo_prefill,
+                                              gptneo_score_with_prefix,
+                                              init_gptneo_params)
+
+    if small:
+        cfg = GPTNeoConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                           num_heads=4, window_size=8,
+                           max_position_embeddings=128)
+        nq, chunk, T, F, tgt_len, n_chunks, iters, feat_dim = 2, 4, 16, 4, 3, 2, 2, 32
+    else:
+        cfg = GPTNeoConfig()  # gpt-neo-1.3B
+        nq, chunk, T, F, tgt_len, n_chunks, iters, feat_dim = 16, 64, 64, 10, 4, 8, 3, 768
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    params = jax.jit(lambda k: init_gptneo_params(k, cfg, vt))(jax.random.PRNGKey(0))
+    if jax.default_backend() != "cpu":  # CPU DotThunk lacks bf16xbf16->f32
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, size=(nq, T)))
+    am = jnp.ones((nq, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(nq, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((nq, F), jnp.int32)
+    targets = jnp.asarray(
+        rng.integers(5, cfg.vocab_size, size=(n_chunks, chunk, tgt_len)))
+
+    @jax.jit
+    def loop(params, ids, am, video, vm, targets):
+        def body(i, acc):
+            prefix = gptneo_prefill(
+                params, cfg, vt, video=video, video_mask=vm,
+                input_ids=(ids + i) % cfg.vocab_size, attention_mask=am)
+
+            def one_chunk(a, tgt):
+                return a + gptneo_score_with_prefix(
+                    params, cfg, prefix, tgt).mean(), None
+
+            s, _ = jax.lax.scan(one_chunk, jnp.zeros((), jnp.float32), targets)
+            return acc + s
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    h, inter, L = cfg.hidden_size, cfg.effective_intermediate_size, cfg.num_layers
+    L0, Lq = F + T, tgt_len - 1
+    # prefill: full layer stack over nq x L0 tokens + last-position lm_head
+    prefill_flops = nq * (L0 * L * (8 * h * h + 4 * h * inter + 4 * L0 * h)
+                          + 2 * h * cfg.vocab_size)
+    # chunk: per fed token 8h^2 qkvo + 4h*inter FFN + lm_head; cross-attn
+    # to L0 cached keys (qk + ctx), tiny self part
+    chunk_flops = nq * chunk * Lq * (
+        L * (8 * h * h + 4 * h * inter + 4 * (L0 + Lq) * h)
+        + 2 * h * cfg.vocab_size)
+    flops1 = prefill_flops + n_chunks * chunk_flops
+    dt = timed(loop, params, ids, am, video, vm, targets)
+    n_scored = nq * chunk * n_chunks
+    return {"answers_per_sec": n_scored * iters / dt,
+            "tflops": flops1 * iters / dt / 1e12,
+            "flops_per_item": flops1 / n_scored}
+
+
 def _random_tree_like(key, shapes_tree, dtype_map):
     """Fill an eval_shape tree with random leaves WITHOUT materializing the
     f32 init (a 6B f32 tree is 24GB — over the 16GB v5e HBM; direct bf16 is
@@ -427,6 +499,7 @@ def main():
     deberta = bench_deberta(small)
     clip = bench_clip(small)
     ar = bench_ar_scoring(small)
+    ar_prefix = bench_ar_scoring_prefix(small)
     decode = bench_greedy_decode(small)
     gptj6b = (bench_gptj6b(small)
               if os.environ.get("FROZENBILM_BENCH_6B", "") == "1" else None)
@@ -483,6 +556,13 @@ def main():
                 "answers_per_sec": round(ar["answers_per_sec"], 2),
                 "tflops": round(ar["tflops"], 2),
                 "mfu": mfu(ar["tflops"]),
+            },
+            "gptneo13_ar_scoring_prefix": {
+                "answers_per_sec": round(ar_prefix["answers_per_sec"], 2),
+                "tflops": round(ar_prefix["tflops"], 2),
+                "mfu": mfu(ar_prefix["tflops"]),
+                "flops_per_answer_vs_tiled": round(
+                    ar_prefix["flops_per_item"] / ar["flops_per_item"], 4),
             },
             "gptneo13_greedy_decode": {
                 "tokens_per_sec": round(decode["tokens_per_sec"], 2),

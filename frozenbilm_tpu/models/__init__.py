@@ -29,6 +29,8 @@ class ModelBundle:
     score: Optional[Callable] = None  # AR teacher-forced scoring
     answer_logits: Optional[Callable] = None  # (params, hidden) -> (.., n_ans)
     greedy: Optional[Callable] = None  # AR KV-cache greedy decoding
+    prefill: Optional[Callable] = None  # prompt prefix -> KV cache dict
+    score_with_prefix: Optional[Callable] = None  # (params, cfg, prefix, tgt)
 
 
 def family_of(model_name: str) -> str:
@@ -95,6 +97,8 @@ def build_model(args) -> ModelBundle:
                 forward=m.gptneo_forward,
                 score=m.gptneo_score,
                 greedy=m.gptneo_greedy_cached,
+                prefill=m.gptneo_prefill,
+                score_with_prefix=m.gptneo_score_with_prefix,
             )
         from frozenbilm_tpu.models import gptj as m
 
@@ -104,5 +108,7 @@ def build_model(args) -> ModelBundle:
             forward=m.gptj_forward,
             score=m.gptj_score,
             greedy=m.gptj_greedy_cached,
+            prefill=m.gptj_prefill,
+            score_with_prefix=m.gptj_score_with_prefix,
         )
     raise NotImplementedError(family)

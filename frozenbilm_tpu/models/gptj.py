@@ -380,3 +380,101 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else:
         tokens = first[:, None]
     return jnp.concatenate([input_ids, tokens], axis=1)
+
+
+def gptj_prefill(params, cfg, vt, *, video, video_mask, input_ids,
+                 attention_mask):
+    """Run the (video + left-padded prompt) prefix ONCE for prefix-cached
+    answer scoring (SURVEY.md §3.4). Cached k are post-rotary, so answer
+    queries only need their own rotary rows (absolute positions L0+q,
+    matching gptj_forward's 0..L-1 tables)."""
+    out = gptj_forward(params, cfg, vt, input_ids, attention_mask,
+                       video, video_mask, return_kv=True)
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones(
+            video.shape[:2], jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype),
+                                   attention_mask], axis=1)
+    else:
+        full_am = attention_mask
+    return {
+        "k": out.kv[0], "v": out.kv[1],
+        "key_mask": full_am.astype(jnp.float32),
+        "first_probs": jax.nn.softmax(out.logits[:, -1, :].astype(jnp.float32),
+                                      axis=-1),
+    }
+
+
+def gptj_score_with_prefix(params, cfg, prefix, target_ids):
+    """P(target_l | prompt, target_<l) for C answers x B questions against
+    a shared cached prompt prefix — the GPT-J analogue of
+    gptneo_score_with_prefix (parity-tested vs gptj_score on the tiled
+    batch). Honors GPT-J specifics: rotary at absolute positions L0+q,
+    scale-after-causal-fill fp32 attention (gptj.py:180-184), parallel
+    residual (gptj.py:326)."""
+    C, L2 = target_ids.shape
+    B = prefix["key_mask"].shape[0]
+    L0 = prefix["key_mask"].shape[1]
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    p0 = prefix["first_probs"][:, target_ids[:, 0]]  # (B, C)
+    if L2 == 1:
+        return p0[:, :, None]
+
+    fed = target_ids[:, :-1]  # (C, L2-1)
+    Lq = L2 - 1
+    x = jnp.broadcast_to(params["wte"][fed][None],
+                         (B, C, Lq, cfg.hidden_size))
+
+    rd = cfg.rotary_dim or hd
+    sin_full, cos_full = _rotary_sincos(L0 + Lq, rd)
+    sin = jnp.asarray(sin_full[L0:])  # rows for the fed answer positions
+    cos = jnp.asarray(cos_full[L0:])
+    scale = math.sqrt(hd)
+    self_causal = jnp.asarray(np.tril(np.ones((Lq, Lq), bool)))
+    pad_bias = (1.0 - prefix["key_mask"])[:, None, None, None, :] * NEG_PAD
+
+    def rot(t):  # t: (B, C, Lq, nh, rd-split applied by caller)
+        return jnp.concatenate(
+            [apply_rotary(t[..., :rd].reshape(B * C, Lq, nh, rd), sin, cos)
+             .reshape(B, C, Lq, nh, rd), t[..., rd:]], axis=-1)
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = rot(linear(lp["attn"]["q_proj"], ln).reshape(B, C, Lq, nh, hd))
+        k = rot(linear(lp["attn"]["k_proj"], ln).reshape(B, C, Lq, nh, hd))
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, C, Lq, nh, hd)
+        qf = q.astype(jnp.float32)
+        # prefix keys are all causal-visible; scale AFTER the causal fill
+        # (masked self entries get NEG_BIAS / scale, exactly as the full
+        # forward's where-then-divide produces)
+        w_pre = jnp.einsum("bcqhd,bhjd->bchqj", qf,
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32) / scale
+        w_pre = w_pre + pad_bias
+        w_self = jnp.einsum("bcqhd,bckhd->bchqk", qf, k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        w_self = jnp.where(self_causal[None, None, None], w_self,
+                           NEG_BIAS) / scale
+        w = jnp.concatenate([w_pre, w_self], axis=-1)
+        p = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        p_pre, p_self = p[..., :L0], p[..., L0:]
+        ctx = (jnp.einsum("bchqj,bhjd->bcqhd", p_pre, vc,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bchqk,bckhd->bcqhd", p_self, v,
+                            preferred_element_type=jnp.float32)).astype(v.dtype)
+        attn_out = linear(lp["attn"]["out_proj"],
+                          ctx.reshape(B, C, Lq, nh * hd))
+        ff = linear(lp["mlp"]["fc_out"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
+        return attn_out + ff + h, None  # parallel residual (gptj.py:326)
+
+    x, _ = jax.lax.scan(layer, x, (params["layers"], prefix["k"], prefix["v"]))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    rest = jnp.take_along_axis(
+        probs, target_ids[None, :, 1:, None].repeat(B, axis=0), axis=3)[..., 0]
+    return jnp.concatenate([p0[:, :, None], rest], axis=2)  # (B, C, L2)

@@ -432,3 +432,115 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else:
         tokens = first[:, None]
     return jnp.concatenate([input_ids, tokens], axis=1)
+
+
+def gptneo_prefill(params, cfg, vt, *, video, video_mask, input_ids,
+                   attention_mask):
+    """Run the (video + left-padded prompt) prefix ONCE, returning what
+    prefix-cached answer scoring needs (SURVEY.md §3.4: 'prompt prefix
+    cached once, all answers scored in one batched pass').
+
+    Returns dict with per-layer k/v (layers, B, nh, L0, hd), the full
+    prefix key mask (B, L0), the next genpos per row (B,), and the
+    last-position probs (B, V) — P(first answer token | prompt)."""
+    out = _forward_with_genpos(params, cfg, vt, input_ids, attention_mask,
+                               video, video_mask, return_kv=True)
+    use_video = vt.features_dim and video is not None
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones(
+            video.shape[:2], jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype),
+                                   attention_mask], axis=1)
+    else:
+        full_am = attention_mask
+    return {
+        "k": out.kv[0], "v": out.kv[1],
+        "key_mask": full_am.astype(jnp.float32),
+        "pos_next": jnp.sum(full_am, axis=1).astype(jnp.int32),
+        "first_probs": jax.nn.softmax(out.logits[:, -1, :].astype(jnp.float32),
+                                      axis=-1),
+    }
+
+
+def gptneo_score_with_prefix(params, cfg, prefix, target_ids):
+    """P(target_l | prompt, target_<l) for C answers x B questions against
+    a shared cached prompt prefix — WITHOUT re-running or materializing the
+    prompt per answer.
+
+    target_ids: (C, L2) — one length-group chunk (exact lengths, no pad).
+    Returns (B, C, L2) probabilities, equal to gptneo_score run on the
+    (B*C)-tiled batch (parity-tested) at ~L2/(L0+L2) of its FLOPs.
+
+    Per layer, answer queries attend to the (B,)-cached prefix keys via a
+    broadcast einsum (no (B*C, L0) key materialization) plus a causal
+    self-attention over the L2-1 fed answer tokens. Positions continue the
+    per-row genpos cumsum; local layers honor the absolute-index sliding
+    window (gptneo.py:159-176); attention stays UNSCALED fp32."""
+    C, L2 = target_ids.shape
+    B = prefix["key_mask"].shape[0]
+    L0 = prefix["key_mask"].shape[1]
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    # P(first token | prompt) comes from the prefill's last-position probs
+    p0 = prefix["first_probs"][:, target_ids[:, 0]]  # (B, C)
+    if L2 == 1:
+        return p0[:, :, None]
+
+    fed = target_ids[:, :-1]  # (C, L2-1) teacher-forced inputs
+    Lq = L2 - 1
+    # embeddings: wte per answer token + wpe at per-question genpos
+    pos = prefix["pos_next"][:, None, None] + jnp.arange(Lq)[None, None, :]
+    x = params["wte"][fed][None] + params["wpe"][pos]  # (B, C, Lq, H)
+
+    # absolute indices: prefix keys 0..L0-1; fed token q sits at L0+q
+    q_abs = L0 + np.arange(Lq)
+    self_causal = np.arange(Lq)[None, :] <= np.arange(Lq)[:, None]
+    pre_mask_g = np.ones((Lq, L0), bool)
+    pre_mask_l = (np.arange(L0)[None, :] > q_abs[:, None] - cfg.window_size)
+    self_local = self_causal & (
+        (L0 + np.arange(Lq))[None, :] > q_abs[:, None] - cfg.window_size)
+    pad_bias = (1.0 - prefix["key_mask"])[:, None, None, None, :] * NEG_PAD
+
+    def layer(h, xs):
+        lp, kc, vc, local_flag = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = linear(lp["attn"]["q_proj"], ln).reshape(B, C, Lq, nh, hd)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, C, Lq, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, C, Lq, nh, hd)
+        qf = q.astype(jnp.float32)
+        # UNSCALED fp32 attention (gptneo.py:210-215)
+        w_pre = jnp.einsum("bcqhd,bhkd->bchqk", qf,
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        pre_allowed = jnp.where(local_flag, jnp.asarray(pre_mask_l),
+                                jnp.asarray(pre_mask_g))
+        w_pre = jnp.where(pre_allowed[None, None, None], w_pre, NEG_BIAS)
+        w_pre = w_pre + pad_bias
+        w_self = jnp.einsum("bcqhd,bckhd->bchqk", qf, k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        self_allowed = jnp.where(local_flag, jnp.asarray(self_local),
+                                 jnp.asarray(self_causal))
+        w_self = jnp.where(self_allowed[None, None, None], w_self, NEG_BIAS)
+        w = jnp.concatenate([w_pre, w_self], axis=-1)
+        p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+        p_pre, p_self = p[..., :L0], p[..., L0:]
+        ctx = (jnp.einsum("bchqk,bhkd->bcqhd", p_pre, vc,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bchqk,bckhd->bcqhd", p_self, v,
+                            preferred_element_type=jnp.float32)).astype(v.dtype)
+        attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, C, Lq, nh * hd))
+        h = h + attn_out
+        h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
+        ff = linear(lp["mlp"]["c_proj"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
+        return h + ff, None
+
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+    x, _ = jax.lax.scan(layer, x, (params["layers"], prefix["k"], prefix["v"],
+                                   is_local))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # (B, C, Lq, V)
+    rest = jnp.take_along_axis(
+        probs, target_ids[None, :, 1:, None].repeat(B, axis=0), axis=3)[..., 0]
+    return jnp.concatenate([p0[:, :, None], rest], axis=2)  # (B, C, L2)

@@ -90,6 +90,21 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
 
     score_fn = jax.jit(_tiled_score)
 
+    # Prefix-cached scoring (SURVEY.md §3.4): the prompt+video prefix runs
+    # ONCE per batch (prefill -> per-layer KV); each answer chunk then feeds
+    # only its L2-1 answer tokens against the shared cache — ~(L0+L2)/L2 x
+    # fewer FLOPs per chunk at FrozenBiLM lengths. Numerics are
+    # parity-tested vs the full-sequence scorer (test_gpt_parity.py).
+    # FROZENBILM_AR_SCORE=tiled restores the full recompute path (A/B).
+    use_prefix = (bundle.prefill is not None and
+                  os.environ.get("FROZENBILM_AR_SCORE", "prefix") != "tiled")
+    if use_prefix:
+        prefill_fn = jax.jit(lambda p, v, vm_, ids, am: bundle.prefill(
+            p, bundle.cfg, bundle.vt, video=v, video_mask=vm_,
+            input_ids=ids, attention_mask=am))
+        score_px = jax.jit(lambda p, prefix, tgt: bundle.score_with_prefix(
+            p, bundle.cfg, prefix, tgt))
+
     metric_logger = MetricLogger()
     res = {}
     chunk = args.batch_size_val
@@ -126,13 +141,17 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
         # chunk k, so the blocking np.asarray + host argmax bookkeeping
         # overlap the next chunk's device execution
         pending = None
+        prefix = (prefill_fn(params, vid_d, vm_d, ids_d, am_d)
+                  if use_prefix else None)
         for length, (toks, aids) in groups.items():
             for s in range(0, len(toks), chunk):
                 t = toks[s: s + chunk]
                 n = len(t)
                 if n < chunk:  # pad chunk to a fixed shape for XLA
                     t = np.concatenate([t, np.tile(t[-1:], (chunk - n, 1))])
-                out = score_fn(params, vid_d, vm_d, ids_d, am_d, jnp.asarray(t))
+                out = (score_px(params, prefix, jnp.asarray(t)) if use_prefix
+                       else score_fn(params, vid_d, vm_d, ids_d, am_d,
+                                     jnp.asarray(t)))
                 if pending is not None:
                     consume(pending)
                 pending = (out, n, np.asarray(aids))

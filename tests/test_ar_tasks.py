@@ -137,3 +137,36 @@ def test_pretrain_ar(ar_env, tmp_path):
     log = main(args)
     assert np.isfinite(log[0]["train_loss"]) and "val_loss" in log[0]
     assert os.path.isdir(save / "checkpoint0000")
+
+
+def test_videoqa_ar_prefix_equals_tiled(ar_env, tmp_path, monkeypatch):
+    """The default prefix-cached scorer and the full-recompute tiled scorer
+    produce identical per-qid predictions through the whole driver."""
+    import json as _json
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.videoqa_ar import main
+
+    root, model_dir, data, _, _ = ar_env
+    outs = {}
+    for mode in ("prefix", "tiled"):
+        save = tmp_path / f"ar_{mode}"
+        monkeypatch.setenv("FROZENBILM_AR_SCORE", mode)
+        args = get_args_parser().parse_args([
+            "--combine_datasets", "msvd", "--combine_datasets_val", "msvd",
+            "--model_name", "gpt-neo-1p3b", "--tokenizer_path", str(model_dir),
+            "--msvd_features_path", str(data / "clipvitl14"),
+            "--msvd_val_csv_path", str(data / "val.csv"),
+            "--msvd_test_csv_path", str(data / "val.csv"),
+            "--msvd_train_csv_path", str(data / "val.csv"),
+            "--msvd_vocab_path", str(data / "vocab.json"),
+            "--msvd_subtitles_path", str(data / "subtitles.pkl"),
+            "--features_dim", "8", "--max_feats", "4", "--max_tokens", "48",
+            "--max_atokens", "8",
+            "--batch_size_val", "2", "--print_freq", "1",
+            "--eval", "--save_dir", str(save),
+        ])
+        main(args)
+        outs[mode] = _json.load(open(save / "msvd.json"))
+    assert {k: v["pred"] for k, v in outs["prefix"].items()} == \
+           {k: v["pred"] for k, v in outs["tiled"].items()}

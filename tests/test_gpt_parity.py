@@ -246,3 +246,68 @@ def test_gpt_greedy_cached_eos_pads_finished_rows(family):
         else:
             np.testing.assert_array_equal(out[b], gen[b])
     assert (out[0, 2:] == 0).all()  # row 0 finished at step 1 by construction
+
+
+def test_gptneo_prefix_cached_scoring_parity():
+    """gptneo_prefill + gptneo_score_with_prefix == gptneo_score on the
+    (B*C)-tiled batch (SURVEY.md §3.4 prefix-KV scoring): same
+    probabilities without re-running the prompt per answer. The fixture's
+    window_size=5 < prefix length makes the local-layer path non-trivial."""
+    from frozenbilm_tpu.models.gptneo import (gptneo_prefill, gptneo_score,
+                                              gptneo_score_with_prefix)
+
+    _, params, cfg = _gptneo_pair()
+    ids, am, video, vm = _inputs()
+    B = ids.shape[0]
+    rng = np.random.default_rng(3)
+    for L2 in (1, 2, 4):
+        C = 3
+        tgt = rng.integers(1, 101, size=(C, L2))
+        # oracle: tile questions x answers through the full-sequence scorer
+        tiled = gptneo_score(
+            params, cfg, VT,
+            video=jnp.repeat(jnp.asarray(video), C, 0),
+            video_mask=jnp.repeat(jnp.asarray(vm), C, 0),
+            input_ids=jnp.repeat(jnp.asarray(ids), C, 0),
+            attention_mask=jnp.repeat(jnp.asarray(am), C, 0),
+            target_ids=jnp.tile(jnp.asarray(tgt), (B, 1)),
+        ).reshape(B, C, L2)
+        prefix = gptneo_prefill(params, cfg, VT, video=jnp.asarray(video),
+                                video_mask=jnp.asarray(vm),
+                                input_ids=jnp.asarray(ids),
+                                attention_mask=jnp.asarray(am))
+        got = gptneo_score_with_prefix(params, cfg, prefix, jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(tiled),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=f"L2={L2}")
+
+
+def test_gptj_prefix_cached_scoring_parity():
+    """gptj_prefill + gptj_score_with_prefix == gptj_score on the tiled
+    batch (rotary at absolute positions, scale-after-fill, parallel
+    residual all preserved)."""
+    from frozenbilm_tpu.models.gptj import (gptj_prefill, gptj_score,
+                                            gptj_score_with_prefix)
+
+    _, params, cfg = _gptj_pair()
+    ids, am, video, vm = _inputs()
+    B = ids.shape[0]
+    rng = np.random.default_rng(5)
+    for L2 in (1, 3):
+        C = 3
+        tgt = rng.integers(1, 101, size=(C, L2))
+        tiled = gptj_score(
+            params, cfg, VT,
+            video=jnp.repeat(jnp.asarray(video), C, 0),
+            video_mask=jnp.repeat(jnp.asarray(vm), C, 0),
+            input_ids=jnp.repeat(jnp.asarray(ids), C, 0),
+            attention_mask=jnp.repeat(jnp.asarray(am), C, 0),
+            target_ids=jnp.tile(jnp.asarray(tgt), (B, 1)),
+        ).reshape(B, C, L2)
+        prefix = gptj_prefill(params, cfg, VT, video=jnp.asarray(video),
+                              video_mask=jnp.asarray(vm),
+                              input_ids=jnp.asarray(ids),
+                              attention_mask=jnp.asarray(am))
+        got = gptj_score_with_prefix(params, cfg, prefix, jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(tiled),
+                                   rtol=2e-4, atol=1e-6, err_msg=f"L2={L2}")

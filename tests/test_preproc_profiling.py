@@ -148,6 +148,10 @@ def test_bench_small_schema(capsys):
     extra = out["extra"]
     for key in ("deberta_xl_eval", "clip_vitl14_extract", "gptneo13_ar_scoring"):
         assert extra[key]["tflops"] >= 0
+    # the prefix-cached AR leg: strictly fewer FLOPs per scored answer
+    px = extra["gptneo13_ar_scoring_prefix"]
+    assert px["answers_per_sec"] > 0
+    assert 0 < px["flops_per_answer_vs_tiled"] < 1
     # the W8A8 variants and the env-gated 6B leg must have run, not errored
     for key in ("deberta_xl_eval_int8", "clip_vitl14_extract_int8"):
         assert "error" not in extra[key], extra[key]
