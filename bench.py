@@ -368,7 +368,9 @@ def bench_gptj6b(small: bool):
     import numpy as np
 
     from frozenbilm_tpu.config import GPTJConfig, VideoTextConfig
-    from frozenbilm_tpu.models.gptj import gptj_score, init_gptj_params
+    from frozenbilm_tpu.models.gptj import (gptj_prefill, gptj_score,
+                                            gptj_score_with_prefix,
+                                            init_gptj_params)
     from frozenbilm_tpu.ops.quant import quantize_tree
 
     if small:
@@ -402,11 +404,35 @@ def bench_gptj6b(small: bool):
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
+    # prefix-cached variant (driver default): nq questions share one
+    # prefill; rows = nq * chunk answers scored per call
+    nq = max(1, rows // 8)
+    chunk = rows // nq
+    ids_p, am_p = ids[:nq], am[:nq]
+    video_p, vm_p = video[:nq], vm[:nq]
+    tgt_p = targets[:chunk]
+
+    @jax.jit
+    def loop_prefix(params, ids, am, video, vm, tgt):
+        def body(i, acc):
+            prefix = gptj_prefill(params, cfg, vt, video=video, video_mask=vm,
+                                  input_ids=(ids + i) % cfg.vocab_size,
+                                  attention_mask=am)
+            return acc + gptj_score_with_prefix(params, cfg, prefix, tgt).mean()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
     h, L = cfg.hidden_size, cfg.num_layers
     inter = cfg.effective_intermediate_size
     seq = F + T + tgt_len
     flops1 = rows * (seq * L * (8 * h * h + 4 * h * inter + 4 * seq * h)
                      + 2 * seq * h * cfg.vocab_size)
+    L0, Lq = F + T, tgt_len - 1
+    flops_prefix = (nq * (L0 * L * (8 * h * h + 4 * h * inter + 4 * L0 * h)
+                          + 2 * h * cfg.vocab_size)
+                    + nq * chunk * Lq * (L * (8 * h * h + 4 * h * inter
+                                              + 4 * (L0 + Lq) * h)
+                                         + 2 * h * cfg.vocab_size))
     out = {}
     for name in ("bf16", "int8"):
         if name == "bf16":
@@ -421,6 +447,12 @@ def bench_gptj6b(small: bool):
             dt = timed(loop, params, ids, am, video, vm, targets)
             out[name] = {"answers_per_sec": rows * iters / dt,
                          "tflops": flops1 * iters / dt / 1e12}
+            if name == "bf16" and jax.default_backend() != "cpu":
+                dt_p = timed(loop_prefix, params, ids_p, am_p,
+                             video_p, vm_p, tgt_p)
+                out[name]["prefix"] = {
+                    "answers_per_sec": nq * chunk * iters / dt_p,
+                    "tflops": flops_prefix * iters / dt_p / 1e12}
         except Exception as e:
             out[name] = {"error": repr(e)[:300]}
         del params
