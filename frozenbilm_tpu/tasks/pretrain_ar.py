@@ -161,8 +161,14 @@ def main(args):
         loader_train.set_epoch(epoch)
         ml = MetricLogger()
         nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
-        for batch_dict in ml.log_every(loader_train, args.print_freq, f"Epoch: [{epoch}]"):
-            db = _device_batch(batch_dict, tokenizer, args, mesh)
+        from frozenbilm_tpu.data.loader import device_prefetch
+
+        # tokenize + H2D one batch ahead (same overlap as tasks/pretrain.py)
+        it = device_prefetch(
+            iter(loader_train),
+            lambda bd: _device_batch(bd, tokenizer, args, mesh))
+        for db in ml.log_every(it, args.print_freq, f"Epoch: [{epoch}]",
+                               total=len(loader_train)):
             state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
             loss = float(metrics["loss"])
             if not nf_policy.step(loss, float(metrics["grad_norm"])):
