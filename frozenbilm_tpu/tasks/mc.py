@@ -198,12 +198,19 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
 
     metric_logger = MetricLogger()
     nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
-    for batch_dict in metric_logger.log_every(data_loader, args.print_freq,
-                                              f"Epoch: [{epoch}]"):
+    def _place(batch_dict):
         db = _device_batch(batch_dict, tokenizer, args)
         db["answer_id"] = jnp.asarray(np.asarray(batch_dict["answer_id"]))
         if trainer.mesh is not None:
             db = shard_batch(trainer.mesh, db)
+        return db
+
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(iter(data_loader), _place)
+    for db in metric_logger.log_every(it, args.print_freq,
+                                      f"Epoch: [{epoch}]",
+                                      total=len(data_loader)):
         state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
         loss = float(metrics["loss"])
         if not nf_policy.step(loss, float(metrics["grad_norm"])):

@@ -258,7 +258,8 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
     metric_logger = MetricLogger()
     nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
     header = f"Epoch: [{epoch}]"
-    for batch_dict in metric_logger.log_every(data_loader, args.print_freq, header):
+
+    def _place(batch_dict):
         encoded = _encode(tokenizer, batch_dict["text"], args, strip=False)
         db = _device_batch(batch_dict, encoded)
         db["answer_id"] = jnp.asarray(batch_dict["answer_id"])
@@ -266,6 +267,13 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
             from frozenbilm_tpu.parallel.mesh import shard_batch
 
             db = shard_batch(trainer.mesh, db)
+        return db
+
+    from frozenbilm_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(iter(data_loader), _place)
+    for db in metric_logger.log_every(it, args.print_freq, header,
+                                      total=len(data_loader)):
         state, metrics = trainer.train_step(state, frozen, db, rng)
         loss = float(metrics["loss"])
         if not nf_policy.step(loss, float(metrics["grad_norm"])):
