@@ -21,6 +21,13 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 _SEP = "::"
+_BF16_TAG = "::__bf16"
+try:
+    import ml_dtypes
+
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+    _BF16 = None
 
 
 def _flatten(tree: Dict, prefix=()) -> Dict[str, np.ndarray]:
@@ -95,7 +102,15 @@ def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
         else:
             _async_checkpointer().save(target, pruned)
     elif fmt == "npz":
-        np.savez(os.path.join(path, "params.npz"), **_flatten(tree))
+        # npz has no bfloat16: store such leaves as uint16 bit patterns
+        # with a key tag (raw save would silently round-trip as void '|V2')
+        enc = {}
+        for k, v in _flatten(tree).items():
+            if v.dtype == _BF16:
+                enc[k + _BF16_TAG] = v.view(np.uint16)
+            else:
+                enc[k] = v
+        np.savez(os.path.join(path, "params.npz"), **enc)
     else:
         raise ValueError(f"unknown checkpoint format {fmt!r}")
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -109,7 +124,13 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     orbax_path = os.path.join(path, "params_orbax")
     if os.path.exists(npz_path):
         with np.load(npz_path) as z:
-            tree = _unflatten({k: z[k] for k in z.files})
+            flat = {}
+            for k in z.files:
+                if k.endswith(_BF16_TAG):
+                    flat[k[: -len(_BF16_TAG)]] = z[k].view(_BF16)
+                else:
+                    flat[k] = z[k]
+            tree = _unflatten(flat)
     elif os.path.exists(orbax_path):
         import orbax.checkpoint as ocp
 

@@ -223,3 +223,36 @@ def test_quantized_checkpoint_export_and_load(tmp_path):
     reject_quantized_for_training(merged, eval_mode=True)  # fine for eval
     with pytest.raises(ValueError, match="eval-only"):
         reject_quantized_for_training(merged, eval_mode=False)
+
+
+def test_inspect_ckpt_cli(tmp_path, capsys):
+    """scripts/inspect_ckpt.py summarizes any load_params checkpoint."""
+    import jax.numpy as jnp
+
+    from frozenbilm_tpu.utils.checkpoint import save_params
+    from scripts.inspect_ckpt import main as inspect_main
+
+    class A:
+        model_name = "bert-base-uncased"
+        lr = 1e-3
+
+        def __init__(self):
+            self.__dict__.update(model_name="bert-base-uncased", lr=1e-3)
+
+    tree = {"adapter": {"down": jnp.ones((4, 8), jnp.bfloat16)},
+            "frozen": None}
+    from frozenbilm_tpu.utils.checkpoint import ckpt_meta
+
+    save_params(str(tmp_path), tree, ckpt_meta(A(), epoch=5))
+    # bf16 must round-trip through npz with its dtype (not void '|V2')
+    from frozenbilm_tpu.utils.checkpoint import load_params
+
+    back, _ = load_params(str(tmp_path))
+    assert back["adapter"]["down"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["adapter"]["down"], np.float32),
+                                  np.ones((4, 8), np.float32))
+    inspect_main([str(tmp_path), "--leaves"])
+    out = capsys.readouterr().out
+    assert "1 leaves" in out and "bfloat16" in out
+    assert '"epoch": 5' in out and "bert-base-uncased" in out
+    assert "adapter/down" in out
