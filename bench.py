@@ -522,6 +522,14 @@ def main():
                 raise
             print(f"# device init failed ({e}); retry {i + 1}/{attempts}",
                   flush=True)
+            # discovery failure is cached in jax's backend registry; clear
+            # it or every retry would short-circuit on the same error
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
             time.sleep(60)
     peak = peak_bf16_flops(device_kind)
 

@@ -163,3 +163,24 @@ def device_prefetch(iterator, place_fn: Callable, depth: int = 2) -> Iterator:
         yield item
     if err:
         raise err[0]
+
+
+class OneAhead:
+    """One-deep software pipeline for dispatch/fetch loops.
+
+    JAX dispatch is asynchronous: `submit(item)` (where item holds a
+    just-dispatched, un-fetched device result) hands back the PREVIOUS
+    item, whose blocking fetch then overlaps the new item's device
+    execution. `drain()` returns the final in-flight item. Shared by the
+    chunked eval loops (videoqa_ar answers, CLIP text/frame chunks)."""
+
+    def __init__(self):
+        self._pending = None
+
+    def submit(self, item):
+        prev, self._pending = self._pending, item
+        return prev
+
+    def drain(self):
+        prev, self._pending = self._pending, None
+        return prev

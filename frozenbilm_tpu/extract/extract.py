@@ -99,19 +99,22 @@ def make_encoder(cfg: CLIPVisionConfig, params, batch_size: int, l2_normalize: b
 
     def encode_video(frames_normalized: np.ndarray) -> np.ndarray:
         n = len(frames_normalized)
+        from frozenbilm_tpu.data.loader import OneAhead
+
         chunks = []
-        pending = None  # dispatch batch k+1 before fetching batch k
+        pipe = OneAhead()  # dispatch batch k+1 before fetching batch k
         for s in range(0, n, batch_size):
             chunk = frames_normalized[s: s + batch_size]
             pad = batch_size - len(chunk)
             if pad:  # fixed batch shape -> one compiled program
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = encode(chunk)
-            if pending is not None:
-                chunks.append(np.asarray(pending[0])[:pending[1]])
-            pending = (out, batch_size - pad if pad else batch_size)
-        if pending is not None:
-            chunks.append(np.asarray(pending[0])[:pending[1]])
+            prev = pipe.submit((encode(chunk),
+                                batch_size - pad if pad else batch_size))
+            if prev is not None:
+                chunks.append(np.asarray(prev[0])[:prev[1]])
+        last = pipe.drain()
+        if last is not None:
+            chunks.append(np.asarray(last[0])[:last[1]])
         return np.concatenate(chunks)[:n]
 
     return encode_video

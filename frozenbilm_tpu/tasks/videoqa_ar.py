@@ -137,10 +137,12 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
             best_score = np.where(better, val, best_score)
             best_aid = np.where(better, aids_arr[j], best_aid)
 
-        # one-chunk pipeline: dispatch chunk k+1 (async) BEFORE fetching
-        # chunk k, so the blocking np.asarray + host argmax bookkeeping
-        # overlap the next chunk's device execution
-        pending = None
+        # one-chunk pipeline (OneAhead): dispatch chunk k+1 (async) BEFORE
+        # fetching chunk k, so the blocking np.asarray + host argmax
+        # bookkeeping overlap the next chunk's device execution
+        from frozenbilm_tpu.data.loader import OneAhead
+
+        pipe = OneAhead()
         prefix = (prefill_fn(params, vid_d, vm_d, ids_d, am_d)
                   if use_prefix else None)
         for length, (toks, aids) in groups.items():
@@ -152,11 +154,14 @@ def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
                 out = (score_px(params, prefix, jnp.asarray(t)) if use_prefix
                        else score_fn(params, vid_d, vm_d, ids_d, am_d,
                                      jnp.asarray(t)))
-                if pending is not None:
-                    consume(pending)
-                pending = (out, n, np.asarray(aids))
-        if pending is not None:
-            consume(pending)
+                # the chunk's OWN aid slice: column c of this chunk is
+                # answer aids[s + c] (not aids[c])
+                prev = pipe.submit((out, n, np.asarray(aids[s: s + chunk])))
+                if prev is not None:
+                    consume(prev)
+        last = pipe.drain()
+        if last is not None:
+            consume(last)
 
         for qi in range(nq):
             qid = batch_dict["qid"][qi]

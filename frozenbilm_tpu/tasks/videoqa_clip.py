@@ -80,20 +80,22 @@ def evaluate(text_params, text_cfg, tokenizer, data_loader, dataset_name, args,
         ids = clip_tokenize(tokenizer, flat_texts)
         # B * n_ans rows (tens of thousands for real vocabularies): encode in
         # fixed-size chunks so one compiled program covers every batch
+        from frozenbilm_tpu.data.loader import OneAhead
+
         CHUNK = 1024
         feats = []
-        pending = None  # dispatch chunk k+1 before fetching chunk k
+        pipe = OneAhead()  # dispatch chunk k+1 before fetching chunk k
         for s in range(0, len(ids), CHUNK):
             part = ids[s: s + CHUNK]
             n = len(part)
             if n < CHUNK and len(ids) > CHUNK:
                 part = np.concatenate([part, np.tile(part[-1:], (CHUNK - n, 1))])
-            out = encode(jnp.asarray(part))
-            if pending is not None:
-                feats.append(np.asarray(pending[0])[:pending[1]])
-            pending = (out, n)
-        if pending is not None:
-            feats.append(np.asarray(pending[0])[:pending[1]])
+            prev = pipe.submit((encode(jnp.asarray(part)), n))
+            if prev is not None:
+                feats.append(np.asarray(prev[0])[:prev[1]])
+        last = pipe.drain()
+        if last is not None:
+            feats.append(np.asarray(last[0])[:last[1]])
         text_feats = np.concatenate(feats)  # (B*n_ans, D)
         B = len(video)
         n_ans = len(batch_dict["text"][0])

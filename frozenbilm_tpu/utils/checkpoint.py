@@ -72,6 +72,28 @@ def wait_for_pending_saves() -> None:
         _ASYNC_CKPT.wait_until_finished()
 
 
+def _npz_encode(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """npz has no bfloat16: store such leaves as uint16 bit patterns with a
+    key tag (raw np.savez silently round-trips them as void '|V2')."""
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == _BF16:
+            out[k + _BF16_TAG] = v.view(np.uint16)
+        else:
+            out[k] = v
+    return out
+
+
+def _npz_decode(z) -> Dict[str, np.ndarray]:
+    flat = {}
+    for k in z.files:
+        if k.endswith(_BF16_TAG):
+            flat[k[: -len(_BF16_TAG)]] = z[k].view(_BF16)
+        else:
+            flat[k] = z[k]
+    return flat
+
+
 def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
                 fmt: str = "npz", block: bool = True) -> None:
     """Save a (possibly partitioned, None-pruned) param tree.
@@ -102,15 +124,7 @@ def save_params(path: str, tree: Dict, meta: Optional[Dict[str, Any]] = None,
         else:
             _async_checkpointer().save(target, pruned)
     elif fmt == "npz":
-        # npz has no bfloat16: store such leaves as uint16 bit patterns
-        # with a key tag (raw save would silently round-trip as void '|V2')
-        enc = {}
-        for k, v in _flatten(tree).items():
-            if v.dtype == _BF16:
-                enc[k + _BF16_TAG] = v.view(np.uint16)
-            else:
-                enc[k] = v
-        np.savez(os.path.join(path, "params.npz"), **enc)
+        np.savez(os.path.join(path, "params.npz"), **_npz_encode(_flatten(tree)))
     else:
         raise ValueError(f"unknown checkpoint format {fmt!r}")
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -124,13 +138,7 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     orbax_path = os.path.join(path, "params_orbax")
     if os.path.exists(npz_path):
         with np.load(npz_path) as z:
-            flat = {}
-            for k in z.files:
-                if k.endswith(_BF16_TAG):
-                    flat[k[: -len(_BF16_TAG)]] = z[k].view(_BF16)
-                else:
-                    flat[k] = z[k]
-            tree = _unflatten(flat)
+            tree = _unflatten(_npz_decode(z))
     elif os.path.exists(orbax_path):
         import orbax.checkpoint as ocp
 
@@ -183,8 +191,8 @@ def save_opt_state(path: str, opt_state) -> None:
 
     os.makedirs(path, exist_ok=True)
     leaves = jax.tree.leaves(opt_state)
-    np.savez(os.path.join(path, "opt_state.npz"),
-             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    np.savez(os.path.join(path, "opt_state.npz"), **_npz_encode(
+        {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}))
 
 
 def load_opt_state(path: str, template):
@@ -194,7 +202,8 @@ def load_opt_state(path: str, template):
     import jax
 
     with np.load(os.path.join(path, "opt_state.npz")) as z:
-        leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+        flat = _npz_decode(z)
+    leaves = [flat[f"leaf_{i}"] for i in range(len(flat))]
     treedef = jax.tree.structure(template)
     return jax.tree.unflatten(treedef, leaves)
 

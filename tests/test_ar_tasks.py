@@ -170,3 +170,37 @@ def test_videoqa_ar_prefix_equals_tiled(ar_env, tmp_path, monkeypatch):
         outs[mode] = _json.load(open(save / "msvd.json"))
     assert {k: v["pred"] for k, v in outs["prefix"].items()} == \
            {k: v["pred"] for k, v in outs["tiled"].items()}
+
+
+def test_videoqa_ar_chunking_invariance(ar_env, tmp_path):
+    """Predictions must not depend on batch_size_val: a length group larger
+    than the chunk spans several chunks, and each chunk's argmax column c
+    maps to answer aids[s+c] (regression: aids[c] attributed the win to the
+    wrong answer for every chunk after the first)."""
+    import json as _json
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.videoqa_ar import main
+
+    root, model_dir, data, _, _ = ar_env
+    preds = {}
+    for chunk in ("8", "1"):  # one chunk per group vs several
+        save = tmp_path / f"ar_chunk{chunk}"
+        args = get_args_parser().parse_args([
+            "--combine_datasets", "msvd", "--combine_datasets_val", "msvd",
+            "--model_name", "gpt-neo-1p3b", "--tokenizer_path", str(model_dir),
+            "--msvd_features_path", str(data / "clipvitl14"),
+            "--msvd_val_csv_path", str(data / "val.csv"),
+            "--msvd_test_csv_path", str(data / "val.csv"),
+            "--msvd_train_csv_path", str(data / "val.csv"),
+            "--msvd_vocab_path", str(data / "vocab.json"),
+            "--msvd_subtitles_path", str(data / "subtitles.pkl"),
+            "--features_dim", "8", "--max_feats", "4", "--max_tokens", "48",
+            "--max_atokens", "8",
+            "--batch_size_val", chunk, "--print_freq", "1",
+            "--eval", "--save_dir", str(save),
+        ])
+        main(args)
+        res = _json.load(open(save / "msvd.json"))
+        preds[chunk] = {k: v["pred"] for k, v in res.items()}
+    assert preds["8"] == preds["1"]
