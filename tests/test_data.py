@@ -362,3 +362,14 @@ def test_deberta_fast_tokenizer_path(tmp_path):
     a2tok = answers_to_token_ids(tok, ["cat", "the dog"], max_atokens=3)
     assert a2tok.shape == (2, 3)
     assert a2tok[0, 0] == 9 and a2tok[1, 1] == 10  # no specials, padded
+
+
+def test_one_ahead_pipeline():
+    """OneAhead hands items back exactly one submission late, in order."""
+    from frozenbilm_tpu.data.loader import OneAhead
+
+    pipe = OneAhead()
+    seen = [pipe.submit(i) for i in range(4)]
+    assert seen == [None, 0, 1, 2]
+    assert pipe.drain() == 3
+    assert pipe.drain() is None  # idempotent when empty
