@@ -79,6 +79,18 @@ def main():
     loss = float(metrics["loss"])
     w_after = np.asarray(state.trainable["w"]).reshape(-1).tolist()
 
+    # --- grad-accum microbatch scan across processes: same update as the
+    # full-batch step (deterministic loss, so accumulation math is exact)
+    ga_trainer = Trainer(loss_fn, tx, mesh=mesh, grad_accum=2)
+    ga_state = TrainState(jnp.zeros((), jnp.int32), {"w": jnp.asarray(w0)},
+                          tx.init({"w": jnp.asarray(w0)}))
+    ga_state = TrainState(*replicate(mesh, tuple(ga_state)))
+    ga_batch = shard_batch(mesh, {"x": xs[pid * 4:(pid + 1) * 4],
+                                  "y": ys[pid * 4:(pid + 1) * 4]})
+    ga_state, _ = ga_trainer.train_step(ga_state, frozen, ga_batch,
+                                        jax.random.PRNGKey(0))
+    ga_w = np.asarray(ga_state.trainable["w"]).reshape(-1).tolist()
+
     # --- fetch_local_rows returns exactly this host's contributed rows
     back = fetch_local_rows(mesh, batch["x"])
     assert np.array_equal(back, local["x"]), (back, local["x"])
@@ -96,6 +108,7 @@ def main():
         "seen": seen,
         "loss": loss,
         "w": w_after,
+        "ga_w": ga_w,
         "gathered": sorted(gathered),
         "reduced": red["loss"],
         "sv_avg": sv.global_avg,

@@ -84,6 +84,9 @@ def test_dp_train_step_matches_single_process(worker_results):
         np.testing.assert_allclose(r["w"], expected_w, rtol=1e-5)
     # both hosts hold the identical replicated state
     np.testing.assert_array_equal(worker_results[0]["w"], worker_results[1]["w"])
+    # grad_accum=2 across 2 processes: identical update to the full batch
+    for r in worker_results.values():
+        np.testing.assert_allclose(r["ga_w"], expected_w, rtol=1e-5)
 
 
 def test_host_gather_and_metric_sync(worker_results):
