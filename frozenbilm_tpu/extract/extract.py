@@ -51,6 +51,9 @@ def get_parser():
     parser.add_argument("--quantize", default="none", choices=["none", "w8a8"],
                         help="int8-quantize the CLIP tower's linear layers "
                              "(W8A8 on the MXU; ops/quant.py)")
+    parser.add_argument("--compile_cache", default="",
+                        help="persistent XLA compilation-cache dir (restarted "
+                             "extraction jobs skip the CLIP compile)")
     return parser
 
 
@@ -123,6 +126,9 @@ def make_encoder(cfg: CLIPVisionConfig, params, batch_size: int, l2_normalize: b
 def main(args):
     import pandas as pd
 
+    from frozenbilm_tpu.utils.platform import setup_runtime
+
+    setup_runtime(args)
     csv = pd.read_csv(args.csv)
     cfg = CLIPVisionConfig(image_size=args.size, projection_dim=args.feature_dim)
     params = load_clip_vision(args.clip_weights, cfg)
