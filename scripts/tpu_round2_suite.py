@@ -2,7 +2,8 @@
 
 1. rel-select A/B: onehot vs skew vs Pallas-kernel at bench shapes
 2. input-pipeline bench (200 steps, B=128, 200k-sample synthetic corpus)
-3. bench.py main (all tracked metrics + MFU + decode tokens/sec)
+3. bench.py main: all tracked metrics + MFU + decode tokens/sec, incl. the
+   prefix-cached AR scoring legs (1.3B + env-gated 6B) and int8 variants
 
 Prints each result as its own JSON line, prefixed for easy grepping.
 """
