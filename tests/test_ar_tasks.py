@@ -204,3 +204,32 @@ def test_videoqa_ar_chunking_invariance(ar_env, tmp_path):
         res = _json.load(open(save / "msvd.json"))
         preds[chunk] = {k: v["pred"] for k, v in res.items()}
     assert preds["8"] == preds["1"]
+
+
+def test_videoqa_ar_quantized_prefix_path(ar_env, tmp_path):
+    """--quantize w8a8 through the AR driver's default prefix-cached
+    scoring: kernel_q dispatch inside prefill + score_with_prefix."""
+    import json as _json
+
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.videoqa_ar import main
+
+    root, model_dir, data, _, _ = ar_env
+    save = tmp_path / "ar_q"
+    args = get_args_parser().parse_args([
+        "--combine_datasets", "msvd", "--combine_datasets_val", "msvd",
+        "--model_name", "gpt-neo-1p3b", "--tokenizer_path", str(model_dir),
+        "--msvd_features_path", str(data / "clipvitl14"),
+        "--msvd_val_csv_path", str(data / "val.csv"),
+        "--msvd_test_csv_path", str(data / "val.csv"),
+        "--msvd_train_csv_path", str(data / "val.csv"),
+        "--msvd_vocab_path", str(data / "vocab.json"),
+        "--msvd_subtitles_path", str(data / "subtitles.pkl"),
+        "--features_dim", "8", "--max_feats", "4", "--max_tokens", "48",
+        "--max_atokens", "8", "--batch_size_val", "2", "--print_freq", "1",
+        "--eval", "--quantize", "w8a8", "--save_dir", str(save),
+    ])
+    main(args)
+    results = _json.load(open(save / "msvd.json"))
+    assert len(results) == 4
+    assert all(0 <= r["pred"] < 3 for r in results.values())
