@@ -215,6 +215,9 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
         loss = float(metrics["loss"])
         if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)
+    if nf_policy.total_skipped and is_main_process():
+        print(f"warning: {nf_policy.total_skipped} non-finite step(s) "
+              "dropped this epoch (--skip_nonfinite)")
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)

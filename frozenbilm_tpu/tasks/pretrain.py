@@ -92,6 +92,9 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
         if guard is not None and guard.preempted:
             # finish cleanly after the in-flight step; caller saves
             break
+    if nf_policy.total_skipped and is_main_process():
+        print(f"warning: {nf_policy.total_skipped} non-finite step(s) "
+              "dropped this epoch (--skip_nonfinite)")
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)

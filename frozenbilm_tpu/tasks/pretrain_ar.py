@@ -173,6 +173,9 @@ def main(args):
             loss = float(metrics["loss"])
             if not nf_policy.step(loss, float(metrics["grad_norm"])):
                 ml.update(loss=loss)
+        if nf_policy.total_skipped and is_main_process():
+            print(f"warning: {nf_policy.total_skipped} non-finite step(s) "
+                  "dropped this epoch (--skip_nonfinite)")
         entry = {"epoch": epoch, "train_loss": ml.meters["loss"].global_avg}
         if (epoch + 1) % args.eval_skip == 0:
             entry.update({f"val_{k}": v for k, v in run_eval().items()})

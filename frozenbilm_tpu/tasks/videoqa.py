@@ -280,6 +280,9 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
             metric_logger.update(loss=loss)
         if guard is not None and guard.preempted:
             break
+    if nf_policy.total_skipped and is_main_process():
+        print(f"warning: {nf_policy.total_skipped} non-finite step(s) "
+              "dropped this epoch (--skip_nonfinite)")
     metric_logger.synchronize_between_processes()
     if is_main_process():
         print("Averaged stats:", metric_logger)
