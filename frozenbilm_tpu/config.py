@@ -414,9 +414,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                              "pruned); 0 = keep all")
     parser.add_argument("--skip_nonfinite", type=int, default=0,
                         help="tolerate up to N consecutive non-finite train "
-                             "steps: the update is dropped in-jit "
-                             "(optax.apply_if_finite) and the step excluded "
-                             "from metrics; 0 = abort on first (reference)")
+                             "steps: the update is dropped in-jit (jnp.where "
+                             "selection keeps the old opt_state, so the "
+                             "pytree stays resume-compatible) and the step "
+                             "excluded from metrics; 0 = abort on first "
+                             "(reference)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="split each train batch into N sequential "
                              "microbatches inside the jitted step (lax.scan), "

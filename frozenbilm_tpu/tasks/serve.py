@@ -216,6 +216,11 @@ class GenService:
         t = payload.get("temperature", 0.0)
         if not isinstance(t, (int, float)) or t < 0:
             raise ValueError("'temperature' must be a number >= 0")
+        mnt = payload.get("max_new_tokens", 0)
+        if not isinstance(mnt, int) or isinstance(mnt, bool) or mnt < 0:
+            # reject before batching: a malformed value reaching score()
+            # would fail every co-batched request
+            raise ValueError("'max_new_tokens' must be an integer >= 0")
         feats = payload.get("video_features")
         if feats is not None:
             arr = np.asarray(feats, np.float32)

@@ -419,47 +419,53 @@ def main(args):
                 save_preempt_checkpoint,
             )
 
-            guard = PreemptionGuard().__enter__()
-            for epoch in range(args.start_epoch, args.epochs):
-                item.loader_train.set_epoch(epoch)
-                state, train_stats = train_one_epoch(
-                    state, frozen, trainer, tokenizer, item.loader_train,
-                    epoch, item.dataset_name, args, rng, guard=guard)
-                if guard.preempted:
-                    path = save_preempt_checkpoint(
-                        args.save_dir, state, epoch=epoch, step=-1,
-                        fmt=args.ckpt_format, args=args)
-                    if is_main_process():
-                        print(f"SIGTERM: saved preemption checkpoint to "
-                              f"{path}; resume with --resume --load {path}")
-                    guard.__exit__()
-                    return
-                if (epoch + 1) % args.eval_skip == 0:
-                    cur = merge_params(state.trainable, frozen)
-                    _, out = evaluate(cur, bundle, tokenizer, item.loader_val,
-                                      item.dataset_name, args, split="val",
-                                      type_map=item.dataset_test.type_map,
-                                      mesh=mesh)
-                    if args.save_dir and out["acc1"] > best_acc:
-                        best_acc, best_epoch = out["acc1"], epoch
+            preempted = False
+            # context manager (not manual __enter__): the SIGTERM handler is
+            # restored even if an epoch raises (nonfinite abort, eval error)
+            with PreemptionGuard() as guard:
+                for epoch in range(args.start_epoch, args.epochs):
+                    item.loader_train.set_epoch(epoch)
+                    state, train_stats = train_one_epoch(
+                        state, frozen, trainer, tokenizer, item.loader_train,
+                        epoch, item.dataset_name, args, rng, guard=guard)
+                    if guard.preempted:
+                        path = save_preempt_checkpoint(
+                            args.save_dir, state, epoch=epoch, step=-1,
+                            fmt=args.ckpt_format, args=args)
                         if is_main_process():
-                            save_params(
-                                os.path.join(args.save_dir, "best_model"),
-                                state.trainable,
-                                ckpt_meta(args, epoch=epoch,
-                                          acc1=out["acc1"]),
-                                fmt=args.ckpt_format,
-                            )
-                    log_stats.append({"epoch": epoch, **{f"val_{k}": v for k, v in out.items()}})
-                if args.save_dir and is_main_process():
-                    ckpt_dir = os.path.join(args.save_dir, "ckpt")
-                    save_params(ckpt_dir, state.trainable, ckpt_meta(args, epoch=epoch),
-                                fmt=args.ckpt_format,
-                                block=args.ckpt_format != "orbax")
-                    from frozenbilm_tpu.utils.checkpoint import save_opt_state
+                            print(f"SIGTERM: saved preemption checkpoint to "
+                                  f"{path}; resume with --resume --load {path}")
+                        preempted = True
+                        break
+                    if (epoch + 1) % args.eval_skip == 0:
+                        cur = merge_params(state.trainable, frozen)
+                        _, out = evaluate(cur, bundle, tokenizer,
+                                          item.loader_val,
+                                          item.dataset_name, args, split="val",
+                                          type_map=item.dataset_test.type_map,
+                                          mesh=mesh)
+                        if args.save_dir and out["acc1"] > best_acc:
+                            best_acc, best_epoch = out["acc1"], epoch
+                            if is_main_process():
+                                save_params(
+                                    os.path.join(args.save_dir, "best_model"),
+                                    state.trainable,
+                                    ckpt_meta(args, epoch=epoch,
+                                              acc1=out["acc1"]),
+                                    fmt=args.ckpt_format,
+                                )
+                        log_stats.append({"epoch": epoch, **{f"val_{k}": v for k, v in out.items()}})
+                    if args.save_dir and is_main_process():
+                        ckpt_dir = os.path.join(args.save_dir, "ckpt")
+                        save_params(ckpt_dir, state.trainable,
+                                    ckpt_meta(args, epoch=epoch),
+                                    fmt=args.ckpt_format,
+                                    block=args.ckpt_format != "orbax")
+                        from frozenbilm_tpu.utils.checkpoint import save_opt_state
 
-                    save_opt_state(ckpt_dir, state.opt_state)
-            guard.__exit__()
+                        save_opt_state(ckpt_dir, state.opt_state)
+            if preempted:
+                return
             from frozenbilm_tpu.utils.checkpoint import wait_for_pending_saves
 
             wait_for_pending_saves()  # rolling-ckpt async save must land

@@ -206,7 +206,14 @@ class Trainer:
         i gets fold_in(step_rng, i) so MLM corruption / dropout stay i.i.d.
         across microbatches. Row m*N+i goes to microbatch i: with the batch
         contiguously sharded over 'data', every microbatch stays evenly
-        spread across devices (no resharding collectives)."""
+        spread across devices (no resharding collectives).
+
+        Semantics: this is a MEAN OF PER-MICROBATCH MEANS. For losses
+        normalized per batch by a data-dependent count (the MLM loss divides
+        by the number of masked tokens), microbatches with fewer masked
+        tokens get their tokens weighted up relative to the exact full-batch
+        gradient — the equivalence to one big batch is approximate, not
+        bitwise. Per-row losses (videoqa soft-label CE) are exact."""
         accum = self.grad_accum
 
         n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1

@@ -1,8 +1,11 @@
 """On-chip A/B of the disentangled-attention selection modes (skew /
-onehot / gather / Pallas kernel) at the bench shapes — B=128, L=74, xlarge config.
+onehot / gather / Pallas kernel) at the deployed sequence lengths
+(xlarge config; L = T + 10 video tokens).
 
-Run: python scripts/rel_select_ab.py   (real chip; ~2 min)
-Prints one JSON line per mode with qa_pairs/sec.
+Run: python scripts/rel_select_ab.py [modes...]        (real chip)
+     FROZENBILM_AB_LENGTHS=64,118,256,512 to override the T sweep.
+Prints one JSON line per (mode, L) with qa_pairs/sec; the winner table
+feeds models/deberta.py's `auto` resolution (REL_SELECT_AUTO_TABLE).
 """
 
 import json
@@ -10,7 +13,7 @@ import os
 import time
 
 
-def run(mode: str):
+def run(mode: str, T: int = 64, B: int = 128):
     os.environ["FROZENBILM_REL_SELECT"] = mode
     import importlib
 
@@ -22,7 +25,7 @@ def run(mode: str):
     from frozenbilm_tpu.models import deberta as m
 
     cfg = DebertaV2Config()
-    B, T, F, iters, feat_dim = 128, 64, 10, 8, 768
+    F, iters, feat_dim = 10, 8, 768
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
     params = jax.jit(lambda k: m.init_deberta_params(k, cfg, vt))(jax.random.PRNGKey(0))
@@ -52,12 +55,30 @@ def run(mode: str):
     checksum = float(loop(params, ids, am, video, vm))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
-    print(json.dumps({"mode": mode, "qa_pairs_per_sec": round(B * iters / dt, 2)}),
-          flush=True)
+    rec = {"mode": mode, "L": T + F, "B": B,
+           "qa_pairs_per_sec": round(B * iters / dt, 2),
+           "ms_per_batch": round(dt / iters * 1e3, 2)}
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 if __name__ == "__main__":
     import sys
 
-    for mode in (sys.argv[1:] or ["onehot", "skew", "kernel"]):
-        run(mode)
+    modes = sys.argv[1:] or ["onehot", "skew", "gather", "kernel"]
+    lengths = [int(t) for t in os.environ.get(
+        "FROZENBILM_AB_LENGTHS", "64,118,256,512").split(",")]
+    # shrink B as L grows: keep B*L^2 attention footprint roughly level
+    b_for = {64: 128, 118: 128, 256: 32, 512: 16}
+    results = []
+    for T in lengths:
+        for mode in modes:
+            try:
+                results.append(run(mode, T=T, B=b_for.get(T, 16)))
+            except Exception as e:  # a mode may be unsupported at a shape
+                print(json.dumps({"mode": mode, "L": T + 10,
+                                  "error": repr(e)[:200]}), flush=True)
+    out = os.environ.get("FROZENBILM_AB_OUT", "")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
