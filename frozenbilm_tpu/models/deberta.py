@@ -252,7 +252,7 @@ def _disentangled_attention(
         # used_bucket_range) — selection below never indexes outside it.
         # skew mode projects diagonal-reordered copies instead, making the
         # (L, L) selection a pure pad+reshape+slice.
-        if mode in ("skew", "kernel"):
+        if mode == "skew":
             rel_for_key = rel_emb[jnp.asarray(rel_idx["g_c2p"])]
             rel_for_query = rel_emb[jnp.asarray(rel_idx["g_p2c"])]
         else:
@@ -273,18 +273,7 @@ def _disentangled_attention(
                 else None
             )
         onehot = rel_idx["onehot"]
-        if mode == "kernel":
-            # Pallas rowbias: per-(h, i) batch-in-rows MXU passes against a
-            # contiguous window of the reordered table (ops/rel_bias.py) —
-            # computes only the needed (L, L) bias, zero selection FLOPs
-            from frozenbilm_tpu.ops.rel_bias import rowbias
-
-            if "c2p" in cfg.pos_att_type:
-                scores = scores + rowbias(q, pos_key) / scale
-            if "p2c" in cfg.pos_att_type:
-                scores = scores + jnp.swapaxes(
-                    rowbias(k, pos_query), -1, -2) / scale
-        if mode != "kernel" and "c2p" in cfg.pos_att_type:
+        if "c2p" in cfg.pos_att_type:
             # (B,H,Lq,band|2L-1) then Toeplitz selection along the bucket axis
             c2p_full = jnp.einsum(
                 "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
@@ -304,7 +293,7 @@ def _disentangled_attention(
                     c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
                 )
             scores = scores + c2p / scale
-        if mode != "kernel" and "p2c" in cfg.pos_att_type:
+        if "p2c" in cfg.pos_att_type:
             p2c_full = jnp.einsum(
                 "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
             )
@@ -427,10 +416,21 @@ def _encoder_forward(
     band = hi - lo
     mode = os.environ.get("FROZENBILM_REL_SELECT", "") or REL_SELECT_DEFAULT
     if mode == "auto":
-        # one-hot is the round-1 on-chip winner while its constant fits;
-        # skew replaces the gather fallback beyond that (no selection FLOPs,
-        # two layout copies) — see scripts/rel_select_ab.py for the A/B
-        mode = "onehot" if L * L * band <= 4_000_000 else "skew"
+        # data-driven from the on-chip A/B (scripts/rel_select_ab.py, v5e,
+        # xlarge, round 3): L=74 onehot 851 qa/s > gather 606 > skew 494;
+        # L=128 gather 269 > skew 202 (onehot table gate tripped); L=266
+        # skew 48.2 > gather 21.9 (2.2x). Onehot while its (L, L, band)
+        # constant fits; gather until skew's reordered-projection overhead
+        # amortizes (~L=192); skew beyond.
+        if L * L * band <= 4_000_000:
+            mode = "onehot"
+        elif L < 192:
+            mode = "gather"
+        else:
+            mode = "skew"
+    if mode not in ("onehot", "skew", "gather"):
+        raise ValueError(f"unknown FROZENBILM_REL_SELECT mode {mode!r}; "
+                         "choose auto/onehot/skew/gather")
     onehot = None
     if mode == "onehot":
         if L * L * band <= 4_000_000:
@@ -441,7 +441,7 @@ def _encoder_forward(
         else:  # footprint gate tripped: fall back to the gather oracle
             mode = "gather"
     g_c2p = g_p2c = None
-    if mode in ("skew", "kernel"):
+    if mode == "skew":
         g_c2p, g_p2c = skew_reorder_indices(
             L, cfg.pos_ebd_size, cfg.position_buckets,
             cfg.effective_max_relative_positions,

@@ -1,11 +1,12 @@
-"""On-chip A/B of the disentangled-attention selection modes (skew /
-onehot / gather / Pallas kernel) at the deployed sequence lengths
+"""On-chip A/B of the disentangled-attention selection modes
+(skew / onehot / gather) at the deployed sequence lengths
 (xlarge config; L = T + 10 video tokens).
 
 Run: python scripts/rel_select_ab.py [modes...]        (real chip)
-     FROZENBILM_AB_LENGTHS=64,118,256,512 to override the T sweep.
+     FROZENBILM_AB_LENGTHS=64,118,256,502 to override the T sweep.
 Prints one JSON line per (mode, L) with qa_pairs/sec; the winner table
-feeds models/deberta.py's `auto` resolution (REL_SELECT_AUTO_TABLE).
+is encoded in models/deberta.py's `auto` resolution (commit the JSON
+whenever the measured crossovers move).
 """
 
 import json
@@ -65,11 +66,14 @@ def run(mode: str, T: int = 64, B: int = 128):
 if __name__ == "__main__":
     import sys
 
-    modes = sys.argv[1:] or ["onehot", "skew", "gather", "kernel"]
+    modes = sys.argv[1:] or ["onehot", "skew", "gather"]
+    # T=502 is the longest legal text length: L = T+10 video tokens must
+    # stay <= 512 (the EMD position table; the reference has the identical
+    # cap — its emd_context_layer adds (1, 512, E) z_states)
     lengths = [int(t) for t in os.environ.get(
-        "FROZENBILM_AB_LENGTHS", "64,118,256,512").split(",")]
+        "FROZENBILM_AB_LENGTHS", "64,118,150,182,256,502").split(",")]
     # shrink B as L grows: keep B*L^2 attention footprint roughly level
-    b_for = {64: 128, 118: 128, 256: 32, 512: 16}
+    b_for = {64: 128, 118: 128, 150: 64, 182: 64, 256: 32, 502: 16}
     results = []
     for T in lengths:
         for mode in modes:

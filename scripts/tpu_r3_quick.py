@@ -41,7 +41,7 @@ def main():
     results = []
     b_for = {64: 128, 118: 128, 256: 32, 512: 16}
     for T in (64, 118, 256, 512):
-        for mode in ("onehot", "skew", "gather", "kernel"):
+        for mode in ("onehot", "skew", "gather"):
             try:
                 results.append(rel_select_ab.run(mode, T=T, B=b_for[T]))
             except Exception as e:

@@ -211,7 +211,7 @@ def test_rel_select_modes_equivalent(monkeypatch):
     ref, params, cfg, vt = _build_pair()
     ids, am, video, vm = _inputs()
     outs = {}
-    for mode in ("skew", "onehot", "gather", "kernel"):
+    for mode in ("skew", "onehot", "gather"):
         monkeypatch.setenv("FROZENBILM_REL_SELECT", mode)
         out = deberta_forward(
             params, cfg, vt, jnp.asarray(ids), jnp.asarray(am),
@@ -219,4 +219,3 @@ def test_rel_select_modes_equivalent(monkeypatch):
         outs[mode] = np.asarray(out.logits)
     np.testing.assert_allclose(outs["skew"], outs["onehot"], atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(outs["skew"], outs["gather"], atol=2e-5, rtol=1e-5)
-    np.testing.assert_allclose(outs["kernel"], outs["onehot"], atol=2e-5, rtol=1e-4)

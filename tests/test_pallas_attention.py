@@ -72,22 +72,3 @@ def test_fused_attention_cpu_fallback():
     out = fused_attention(q, q, q)
     ref = attention_reference(q, q, q)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-6)
-
-
-def test_rowbias_pallas_kernel_interpret_matches_xla():
-    """The Pallas rowbias kernel BODY (grid/blockspec/dynamic window slice)
-    validated in interpret mode against the XLA formulation — the TPU path
-    compiles the same trace."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from frozenbilm_tpu.ops.rel_bias import _rowbias_pallas, _rowbias_xla
-
-    B, H, L, d = 4, 3, 10, 8
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.float32)
-    tbl = jnp.asarray(rng.normal(size=(H, 2 * L - 1, d)), jnp.float32)
-    out_k = np.asarray(_rowbias_pallas(x, tbl, interpret=True))
-    out_x = np.asarray(_rowbias_xla(x, tbl))
-    np.testing.assert_allclose(out_k, out_x, rtol=1e-5, atol=1e-5)
