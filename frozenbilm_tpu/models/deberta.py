@@ -82,10 +82,13 @@ def _init_layer(key, cfg: DebertaV2Config, vt: VideoTextConfig):
     keys = iter(jax.random.split(key, 16))
     std = cfg.initializer_range
     h, inter = cfg.hidden_size, cfg.intermediate_size
+    # q/k/v stored FUSED as one (h, 3h) projection: the reference keeps three
+    # separate nn.Linear (deberta.py:717-730), but on the MXU three square
+    # (M,h,h) matmuls run at ~45 TF/s where one fat (M,h,3h) hits ~105 TF/s
+    # (docs/measurements/int8_micro_r3.json) — XLA does not horizontally fuse
+    # sibling dots. Importers concatenate the reference's q/k/v columns.
     attn_self = {
-        "query_proj": linear_init(next(keys), h, h, std),
-        "key_proj": linear_init(next(keys), h, h, std),
-        "value_proj": linear_init(next(keys), h, h, std),
+        "qkv_proj": linear_init(next(keys), h, 3 * h, std),
     }
     if cfg.relative_attention and not cfg.share_att_key:
         if "c2p" in cfg.pos_att_type or "p2p" in cfg.pos_att_type:
@@ -219,6 +222,22 @@ def set_answer_embeddings(params, a2tok, pad_token_id: int = 0):
 # ---------------------------------------------------------------------------
 
 
+def _slice_proj(p, lo: int, hi: int):
+    """Column slice [lo, hi) of the fused qkv linear (bf16 or W8A8 dict).
+
+    Static slices fuse into the consuming dot; per-out-channel quant scales
+    and biases slice with their columns."""
+    out = {}
+    if "kernel_q" in p:
+        out["kernel_q"] = p["kernel_q"][..., lo:hi]
+        out["scale"] = p["scale"][..., lo:hi]
+    else:
+        out["kernel"] = p["kernel"][..., lo:hi]
+    if "bias" in p:
+        out["bias"] = p["bias"][..., lo:hi]
+    return out
+
+
 def _disentangled_attention(
     p_self,
     cfg: DebertaV2Config,
@@ -233,9 +252,20 @@ def _disentangled_attention(
 ):
     """Content + c2p + p2c attention (deberta.py:717-947)."""
     nh = cfg.num_attention_heads
-    q = split_heads(linear(p_self["query_proj"], query_states), nh)  # (B,H,Lq,d)
-    k = split_heads(linear(p_self["key_proj"], hidden_kv), nh)  # (B,H,Lk,d)
-    v = split_heads(linear(p_self["value_proj"], hidden_kv), nh)
+    h = cfg.hidden_size
+    if query_states is hidden_kv:
+        # self-attention layers: one fat (M, h, 3h) matmul on the MXU
+        qkv = linear(p_self["qkv_proj"], hidden_kv)
+        qc, kc, vc = jnp.split(qkv, 3, axis=-1)
+    else:
+        # EMD decoder iterations query with H_i + pos (deberta.py:1013-1042):
+        # q from query_states via the q column slice, k/v fused from hidden_kv
+        qc = linear(_slice_proj(p_self["qkv_proj"], 0, h), query_states)
+        kv = linear(_slice_proj(p_self["qkv_proj"], h, 3 * h), hidden_kv)
+        kc, vc = jnp.split(kv, 2, axis=-1)
+    q = split_heads(qc, nh)  # (B,H,Lq,d)
+    k = split_heads(kc, nh)  # (B,H,Lk,d)
+    v = split_heads(vc, nh)
 
     scale_factor = 1 + len(cfg.pos_att_type)
     scale = math.sqrt(q.shape[-1] * scale_factor)
@@ -258,9 +288,12 @@ def _disentangled_attention(
         else:
             rel_for_key = rel_for_query = rel_emb
         if cfg.share_att_key:
-            pos_key = split_heads(linear(p_self["key_proj"], rel_for_key[None]), nh)[0]
+            pos_key = split_heads(
+                linear(_slice_proj(p_self["qkv_proj"], h, 2 * h), rel_for_key[None]),
+                nh)[0]
             pos_query = split_heads(
-                linear(p_self["query_proj"], rel_for_query[None]), nh)[0]
+                linear(_slice_proj(p_self["qkv_proj"], 0, h), rel_for_query[None]),
+                nh)[0]
         else:
             pos_key = (
                 split_heads(linear(p_self["pos_key_proj"], rel_for_key[None]), nh)[0]

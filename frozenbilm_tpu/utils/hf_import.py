@@ -128,10 +128,17 @@ def deberta_overlay_from_torch(
         layer_trees = []
         for i in range(n_layers):
             lp = f"{p}encoder.layer.{i}."
+            # reference stores three separate (h, h) linears
+            # (deberta.py:717-730); the TPU model fuses them into one
+            # (h, 3h) matmul (models/deberta.py _init_layer) — concat columns
+            q, k, v = (_lin(sd, lp + f"attention.self.{n}_proj")
+                       for n in ("query", "key", "value"))
             attn_self = {
-                "query_proj": _lin(sd, lp + "attention.self.query_proj"),
-                "key_proj": _lin(sd, lp + "attention.self.key_proj"),
-                "value_proj": _lin(sd, lp + "attention.self.value_proj"),
+                "qkv_proj": {
+                    "kernel": np.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                    "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+                }
             }
             for name in ("pos_key_proj", "pos_query_proj"):
                 if lp + f"attention.self.{name}.weight" in sd:

@@ -211,12 +211,12 @@ def test_quantized_checkpoint_export_and_load(tmp_path):
     save_params(str(tmp_path / "q"), qparams, {"quantize": "w8a8"})
     loaded, meta = load_params(str(tmp_path / "q"))
     assert meta["quantize"] == "w8a8"
-    assert loaded["encoder"]["layers"]["attention"]["self"]["query_proj"][
+    assert loaded["encoder"]["layers"]["attention"]["self"]["qkv_proj"][
         "kernel_q"].dtype == np.int8
 
     template = init_deberta_params(jax.random.PRNGKey(1), cfg, vt)
     merged = overlay_into(template, loaded)
-    q_node = merged["encoder"]["layers"]["attention"]["self"]["query_proj"]
+    q_node = merged["encoder"]["layers"]["attention"]["self"]["qkv_proj"]
     assert "kernel_q" in q_node and "kernel" not in q_node  # replaced wholesale
     assert is_quantized(merged)
 

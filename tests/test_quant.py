@@ -88,8 +88,8 @@ def test_quantize_tree_scopes_to_frozen_linears():
     assert is_quantized(q) and not is_quantized(params)
     layers = q["encoder"]["layers"]
     self_p = layers["attention"]["self"]
-    assert self_p["query_proj"]["kernel_q"].dtype == jnp.int8
-    assert self_p["query_proj"]["scale"].shape == (cfg.num_hidden_layers, cfg.hidden_size)
+    assert self_p["qkv_proj"]["kernel_q"].dtype == jnp.int8
+    assert self_p["qkv_proj"]["scale"].shape == (cfg.num_hidden_layers, 3 * cfg.hidden_size)
     # trainable leaves keep full precision
     adapter = layers["attention"]["output"]["adapter"]
     assert not is_quantized(adapter)

@@ -39,7 +39,7 @@ def test_partition_respects_freeze_rules():
     assert mask["lm_head"]["LayerNorm"]["weight"]
     # backbone + head frozen
     assert not mask["embeddings"]["word_embeddings"]
-    assert not mask["encoder"]["layers"]["attention"]["self"]["query_proj"]["kernel"]
+    assert not mask["encoder"]["layers"]["attention"]["self"]["qkv_proj"]["kernel"]
     assert not mask["lm_head"]["dense"]["kernel"]
     assert not mask["lm_head"]["bias"]
 
