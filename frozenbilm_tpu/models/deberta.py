@@ -269,9 +269,19 @@ def _disentangled_attention(
 
     scale_factor = 1 + len(cfg.pos_att_type)
     scale = math.sqrt(q.shape[-1] * scale_factor)
+    # The (L, L)-shaped score pipeline runs in the ACTIVATION dtype: matmuls
+    # still accumulate f32 on the MXU (preferred_element_type), but outputs
+    # round to q.dtype immediately (the convert fuses into the dot epilogue).
+    # In bf16 this halves HBM traffic AND peak footprint of every (B,H,L,L)
+    # and (B,H,L,band) temp — at L=512 the f32 pipeline needed ~12 GB of
+    # attention temps and spilled (docs/measurements/mc_profile_r3.json);
+    # softmax still reduces in f32 internally (ops/masking.masked_softmax).
+    # Parity tests run f32 activations, where all of this is a no-op.
+    adt = q.dtype
     scores = (
-        jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) / scale
-    )
+        jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+        / scale
+    ).astype(adt)
 
     if cfg.relative_attention and rel_emb is not None:
         rel_emb = dropout(
@@ -310,7 +320,7 @@ def _disentangled_attention(
             # (B,H,Lq,band|2L-1) then Toeplitz selection along the bucket axis
             c2p_full = jnp.einsum(
                 "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
-            )
+            ).astype(adt)
             if mode == "skew":
                 c2p = skew_select(c2p_full)
             elif onehot is not None:
@@ -320,7 +330,7 @@ def _disentangled_attention(
                     "bhik,ijk->bhij", c2p_full,
                     jnp.asarray(onehot[0], c2p_full.dtype),
                     preferred_element_type=jnp.float32,
-                )
+                ).astype(adt)
             else:
                 c2p = jnp.take_along_axis(
                     c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
@@ -329,7 +339,7 @@ def _disentangled_attention(
         if "p2c" in cfg.pos_att_type:
             p2c_full = jnp.einsum(
                 "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
-            )
+            ).astype(adt)
             if mode == "skew":
                 # skew yields S[j, i]; the bias wants [i, j]
                 p2c_t = jnp.swapaxes(skew_select(p2c_full), -1, -2)
@@ -339,7 +349,7 @@ def _disentangled_attention(
                     "bhjk,jik->bhij", p2c_full,
                     jnp.asarray(onehot[1], p2c_full.dtype),
                     preferred_element_type=jnp.float32,
-                )
+                ).astype(adt)
             else:
                 p2c_t = jnp.swapaxes(
                     jnp.take_along_axis(

@@ -41,14 +41,19 @@ def masked_softmax(scores: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Ar
     post-softmax zeroing (deberta.py:124-132).
     """
     valid = mask.astype(jnp.bool_)
-    filled = jnp.where(valid, scores, _MASK_FILL)
+    # Internals run in f32 regardless of score dtype: summing hundreds of
+    # bf16 exps loses mantissa bits, and XLA fuses the converts into the
+    # reduce so no f32 (L, L) tensor ever materializes in HBM. The return
+    # value follows the input dtype (bf16 scores -> bf16 probs).
+    filled = jnp.where(valid, scores.astype(jnp.float32), _MASK_FILL)
     # Subtract a finite row max so exp never overflows; fully-masked rows have
     # max == _MASK_FILL, giving exp(0) rows that are then zeroed below.
     row_max = jnp.max(filled, axis=axis, keepdims=True)
     unnorm = jnp.exp(filled - row_max)
     unnorm = jnp.where(valid, unnorm, 0.0)
     denom = jnp.sum(unnorm, axis=axis, keepdims=True)
-    return unnorm / jnp.maximum(denom, jnp.finfo(scores.dtype).tiny)
+    return (unnorm / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)).astype(
+        scores.dtype)
 
 
 def mlm_corrupt(
