@@ -24,11 +24,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_results():
+def _run_workers(script: str, extra_env=None, timeout: int = 300):
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    worker = os.path.join(repo, "tests", script)
     procs = []
     for rank in range(2):
         env = dict(os.environ)
@@ -41,12 +40,13 @@ def worker_results():
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
             "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", ""),
         })
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
             [sys.executable, worker], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
@@ -58,6 +58,11 @@ def worker_results():
         results[r["pid"]] = r
     assert set(results) == {0, 1}
     return results
+
+
+@pytest.fixture(scope="module")
+def worker_results():
+    return _run_workers("multihost_worker.py")
 
 
 def test_loader_shards_are_disjoint_and_complete(worker_results):
@@ -101,3 +106,34 @@ def test_host_gather_and_metric_sync(worker_results):
         assert r["sv_avg"] == 1.5
     assert worker_results[0]["main"] is True
     assert worker_results[1]["main"] is False
+
+
+def test_tp_params_span_processes():
+    """Model-parallel GPT-J train step with the model axis (size 4) crossing
+    the process boundary: shard_params places head/ffn shards on
+    non-addressable devices, and the step's loss + update must equal a
+    single-device replicated run (VERDICT r2 #8)."""
+    results = _run_workers("multihost_tp_worker.py", {"LEG": "tp"},
+                           timeout=600)
+    for pid in (0, 1):
+        r = results[pid]
+        assert r["tp_sharded_leaves"] > 0
+        np.testing.assert_allclose(r["tp_loss"], r["tp_ref_loss"], rtol=2e-4)
+        assert r["tp_update_l2_delta"] < 1e-3, r["tp_update_l2_delta"]
+    np.testing.assert_allclose(results[0]["tp_loss"], results[1]["tp_loss"])
+
+
+def test_fsdp_params_span_processes():
+    """FSDP-storage DeBERTa train step with the data axis (size 4) crossing
+    the process boundary: param/opt shards live on non-addressable devices
+    and GSPMD all-gathers them inside the step; loss + update must equal a
+    replicated single-device run over the same global batch."""
+    results = _run_workers("multihost_tp_worker.py", {"LEG": "fsdp"},
+                           timeout=600)
+    for pid in (0, 1):
+        r = results[pid]
+        assert r["fsdp_sharded_leaves"] > 0
+        np.testing.assert_allclose(r["fsdp_loss"], r["fsdp_ref_loss"],
+                                   rtol=2e-4)
+        assert r["fsdp_update_l2_delta"] < 1e-3, r["fsdp_update_l2_delta"]
+    np.testing.assert_allclose(results[0]["fsdp_loss"], results[1]["fsdp_loss"])
