@@ -29,6 +29,7 @@ class ModelBundle:
     score: Optional[Callable] = None  # AR teacher-forced scoring
     answer_logits: Optional[Callable] = None  # (params, hidden) -> (.., n_ans)
     greedy: Optional[Callable] = None  # AR KV-cache greedy decoding
+    beam: Optional[Callable] = None  # AR KV-cache beam-search decoding
     prefill: Optional[Callable] = None  # prompt prefix -> KV cache dict
     score_with_prefix: Optional[Callable] = None  # (params, cfg, prefix, tgt)
 
@@ -97,6 +98,7 @@ def build_model(args) -> ModelBundle:
                 forward=m.gptneo_forward,
                 score=m.gptneo_score,
                 greedy=m.gptneo_greedy_cached,
+                beam=m.gptneo_beam_cached,
                 prefill=m.gptneo_prefill,
                 score_with_prefix=m.gptneo_score_with_prefix,
             )
@@ -108,6 +110,7 @@ def build_model(args) -> ModelBundle:
             forward=m.gptj_forward,
             score=m.gptj_score,
             greedy=m.gptj_greedy_cached,
+            beam=m.gptj_beam_cached,
             prefill=m.gptj_prefill,
             score_with_prefix=m.gptj_score_with_prefix,
         )

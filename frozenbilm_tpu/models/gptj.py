@@ -275,6 +275,56 @@ def gptj_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_mask
     return ids
 
 
+def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, sin_all,
+                cos_all):
+    """One cached decode step shared by greedy and beam decoding: write the
+    consumed token at cache position t, run every layer over the cache, and
+    return (k_cache, v_cache, key_mask, logits). GPT-J specifics: rotary at
+    the absolute cache position, parallel attn+ff residual, causal fill THEN
+    scale THEN additive pad mask (reference gptj.py:180-184)."""
+    B = tok.shape[0]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    rd = cfg.rotary_dim or hd
+    Lmax = key_mask.shape[1]
+    # the consumed token becomes a valid key at position t
+    key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
+    x = params["wte"][tok]  # (B, H)
+    sin1 = jax.lax.dynamic_slice(sin_all, (t, 0), (1, rd))
+    cos1 = jax.lax.dynamic_slice(cos_all, (t, 0), (1, rd))
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = linear(lp["attn"]["q_proj"], ln).reshape(B, 1, nh, hd)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
+        q = jnp.concatenate([apply_rotary(q[..., :rd], sin1, cos1), q[..., rd:]], -1)
+        k = jnp.concatenate([apply_rotary(k[..., :rd], sin1, cos1), k[..., rd:]], -1)
+        kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
+        w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
+                       kc.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        # same masking order as the full forward: causal fill, THEN
+        # scale, THEN additive padding mask (gptj.py:180-184)
+        w = jnp.where(jnp.arange(Lmax)[None, None, :] <= t, w, NEG_BIAS)
+        w = w / math.sqrt(hd)
+        w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
+        p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+        ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                         preferred_element_type=jnp.float32).astype(vc.dtype)
+        attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
+        ff = linear(lp["mlp"]["fc_out"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
+        return attn_out + ff + h, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer, x, (params["layers"], k_cache, v_cache))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    return k_cache, v_cache, key_mask, logits
+
+
 def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                        attention_mask, max_new_tokens: int,
                        eos_token_id: Optional[int] = None,
@@ -330,42 +380,8 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
 
     def decode_step(carry, _):
         k_cache, v_cache, key_mask, tok, t, unfinished = carry
-        # the consumed token becomes a valid key at position t
-        key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
-        x = params["wte"][tok]  # (B, H)
-        sin1 = jax.lax.dynamic_slice(sin_all, (t, 0), (1, rd))
-        cos1 = jax.lax.dynamic_slice(cos_all, (t, 0), (1, rd))
-
-        def layer(h, xs):
-            lp, kc, vc = xs
-            ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
-            q = linear(lp["attn"]["q_proj"], ln).reshape(B, 1, nh, hd)
-            k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
-            v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
-            q = jnp.concatenate([apply_rotary(q[..., :rd], sin1, cos1), q[..., rd:]], -1)
-            k = jnp.concatenate([apply_rotary(k[..., :rd], sin1, cos1), k[..., rd:]], -1)
-            kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
-            w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
-                           kc.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-            # same masking order as the full forward: causal fill, THEN
-            # scale, THEN additive padding mask (gptj.py:180-184)
-            w = jnp.where(jnp.arange(Lmax)[None, None, :] <= t, w, NEG_BIAS)
-            w = w / math.sqrt(hd)
-            w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
-            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
-            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
-                             preferred_element_type=jnp.float32).astype(vc.dtype)
-            attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
-            ff = linear(lp["mlp"]["fc_out"],
-                        ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
-            return attn_out + ff + h, (kc, vc)
-
-        x, (k_cache, v_cache) = jax.lax.scan(
-            layer, x, (params["layers"], k_cache, v_cache))
-        x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
-        logits = linear(params["lm_head"], x).astype(jnp.float32)
+        k_cache, v_cache, key_mask, logits = _decode_one(
+            params, cfg, k_cache, v_cache, key_mask, tok, t, sin_all, cos_all)
         nxt = select(logits, t - L0 + 1)
         if unfinished is not None:
             nxt = jnp.where(unfinished, nxt, pad_token_id)
@@ -380,6 +396,103 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else:
         tokens = first[:, None]
     return jnp.concatenate([input_ids, tokens], axis=1)
+
+
+def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
+                     attention_mask, max_new_tokens: int, num_beams: int,
+                     eos_token_id: int, pad_token_id: int = 0,
+                     length_penalty: float = 1.0,
+                     early_stopping: bool = False,
+                     num_return_sequences: int = 1,
+                     min_length: int = 0,
+                     return_scores: bool = False):
+    """Beam-search decoding over the KV cache. Same static-shape beam state
+    as gptneo_beam_cached (ops/sampling.beam_*, mirroring the beam path of
+    the reference's vendored generate, gptneo.py:1294-1333, which GPT-J
+    reaches through HF generate); the per-step past reorder becomes a
+    batched cache gather inside the lax.scan.
+
+    Returns (B, T + max_new_tokens) ids when num_return_sequences == 1,
+    else (B, R, T + max_new_tokens); with return_scores=True also the
+    length-penalized sequence scores ((B,) or (B, R)).
+    """
+    from frozenbilm_tpu.ops.sampling import (beam_finalize, beam_init,
+                                             beam_update)
+
+    B, T = input_ids.shape
+    K, G = num_beams, max_new_tokens
+    R = num_return_sequences
+    assert 1 <= R <= K, "num_return_sequences must be in [1, num_beams]"
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + G
+    rd = cfg.rotary_dim or cfg.head_dim
+    V = params["lm_head"]["kernel"].shape[1]
+    assert V >= 2 * K, "vocab must cover the 2*num_beams candidate pool"
+
+    out = gptj_forward(params, cfg, vt, input_ids, attention_mask, video,
+                       video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, G), (0, 0)]
+    # expand each row to K identical beams (HF _expand_inputs_for_generation
+    # repeat_interleaves; beam 1.. start at -1e9 so step 0 dedupes them)
+    k_cache = jnp.repeat(jnp.pad(out.kv[0], pad), K, axis=1)
+    v_cache = jnp.repeat(jnp.pad(out.kv[1], pad), K, axis=1)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.repeat(
+        jnp.pad(full_am.astype(jnp.float32), [(0, 0), (0, G)]), K, axis=0)
+    sin_np, cos_np = _rotary_sincos(Lmax, rd)
+    sin_all, cos_all = jnp.asarray(sin_np), jnp.asarray(cos_np)
+
+    state = beam_init(B, K, G)
+    live_gen = jnp.zeros((B, K, G), jnp.int32)
+    logp0 = jax.nn.log_softmax(out.logits[:, -1, :].astype(jnp.float32), -1)
+    state, live_gen, tok, bidx = beam_update(
+        state, live_gen, jnp.broadcast_to(logp0[:, None, :], (B, K, V)), 0,
+        prompt_len=T, eos_token_id=eos_token_id,
+        length_penalty=length_penalty, early_stopping=early_stopping,
+        min_length=min_length)
+
+    batch_base = (jnp.arange(B)[:, None] * K)
+
+    def decode_step(carry, _):
+        k_cache, v_cache, key_mask, tok, bidx, t, state, live_gen = carry
+        # HF _reorder_cache: continue from the cache rows of the beams the
+        # new live set extends
+        src = (batch_base + bidx).reshape(-1)
+        k_cache = jnp.take(k_cache, src, axis=1)
+        v_cache = jnp.take(v_cache, src, axis=1)
+        k_cache, v_cache, key_mask, logits = _decode_one(
+            params, cfg, k_cache, v_cache, key_mask, tok.reshape(-1), t,
+            sin_all, cos_all)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        state, live_gen, tok, bidx = beam_update(
+            state, live_gen, logp, t - L0 + 1,
+            prompt_len=T, eos_token_id=eos_token_id,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            min_length=min_length)
+        return (k_cache, v_cache, key_mask, tok, bidx, t + 1, state,
+                live_gen), None
+
+    carry = (k_cache, v_cache, key_mask, tok, bidx,
+             jnp.asarray(L0, jnp.int32), state, live_gen)
+    if G > 1:
+        carry, _ = jax.lax.scan(decode_step, carry, None, length=G - 1)
+    state, live_gen = carry[-2], carry[-1]
+
+    seq, scores, _ = beam_finalize(
+        state, live_gen, prompt_len=T, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, length_penalty=length_penalty,
+        num_return_sequences=R)
+    prompt = jnp.broadcast_to(input_ids[:, None, :], (B, R, T))
+    full = jnp.concatenate([prompt, seq], axis=2)
+    if R == 1:
+        full, scores = full[:, 0], scores[:, 0]
+    return (full, scores) if return_scores else full
 
 
 def gptj_prefill(params, cfg, vt, *, video, video_mask, input_ids,

@@ -328,6 +328,52 @@ def gptneo_greedy(params, cfg, vt, *, video, video_mask, input_ids, attention_ma
     return ids
 
 
+def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, pos, is_local):
+    """One cached decode step shared by greedy and beam decoding: write the
+    consumed token at cache position t, run every layer over the cache, and
+    return (k_cache, v_cache, key_mask, logits). GPT-Neo specifics: learned
+    wpe positions, UNSCALED fp32 attention, local layers see only the last
+    window_size absolute positions (reference gptneo.py:159-176)."""
+    B = tok.shape[0]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    Lmax = key_mask.shape[1]
+    key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
+    x = params["wte"][tok] + params["wpe"][pos]  # (B, H)
+    idx = jnp.arange(Lmax)
+    causal_row = idx <= t
+    local_row = causal_row & (idx > t - cfg.window_size)
+
+    def layer(h, xs):
+        lp, kc, vc, local_flag = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = linear(lp["attn"]["q_proj"], ln).reshape(B, nh, hd)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
+        kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
+        w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
+                       kc.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        allowed = jnp.where(local_flag, local_row, causal_row)
+        w = jnp.where(allowed[None, None, :], w, NEG_BIAS)  # unscaled
+        w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
+        p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+        ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                         preferred_element_type=jnp.float32).astype(vc.dtype)
+        attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
+        h = h + attn_out
+        h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
+        ff = linear(lp["mlp"]["c_proj"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
+        return h + ff, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer, x, (params["layers"], k_cache, v_cache, is_local))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    return k_cache, v_cache, key_mask, logits
+
+
 def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                          attention_mask, max_new_tokens: int,
                          eos_token_id: Optional[int] = None,
@@ -384,40 +430,8 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
 
     def decode_step(carry, _):
         k_cache, v_cache, key_mask, tok, t, pos, unfinished = carry
-        key_mask = jnp.where(jnp.arange(Lmax)[None, :] == t, 1.0, key_mask)
-        x = params["wte"][tok] + params["wpe"][pos]  # (B, H)
-        idx = jnp.arange(Lmax)
-        causal_row = idx <= t
-        local_row = causal_row & (idx > t - cfg.window_size)
-
-        def layer(h, xs):
-            lp, kc, vc, local_flag = xs
-            ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
-            q = linear(lp["attn"]["q_proj"], ln).reshape(B, nh, hd)
-            k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
-            v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
-            kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
-            w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
-                           kc.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-            allowed = jnp.where(local_flag, local_row, causal_row)
-            w = jnp.where(allowed[None, None, :], w, NEG_BIAS)  # unscaled
-            w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
-            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
-            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
-                             preferred_element_type=jnp.float32).astype(vc.dtype)
-            attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
-            h = h + attn_out
-            h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
-            ff = linear(lp["mlp"]["c_proj"],
-                        ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
-            return h + ff, (kc, vc)
-
-        x, (k_cache, v_cache) = jax.lax.scan(
-            layer, x, (params["layers"], k_cache, v_cache, is_local))
-        x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
-        logits = linear(params["lm_head"], x).astype(jnp.float32)
+        k_cache, v_cache, key_mask, logits = _decode_one(
+            params, cfg, k_cache, v_cache, key_mask, tok, t, pos, is_local)
         nxt = select(logits, t - L0 + 1)
         if unfinished is not None:
             nxt = jnp.where(unfinished, nxt, pad_token_id)
@@ -432,6 +446,103 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else:
         tokens = first[:, None]
     return jnp.concatenate([input_ids, tokens], axis=1)
+
+
+def gptneo_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
+                       attention_mask, max_new_tokens: int, num_beams: int,
+                       eos_token_id: int, pad_token_id: int = 0,
+                       length_penalty: float = 1.0,
+                       early_stopping: bool = False,
+                       num_return_sequences: int = 1,
+                       min_length: int = 0,
+                       return_scores: bool = False):
+    """Beam-search decoding over the KV cache (TPU rebuild of the beam path
+    of the reference's vendored generate, gptneo.py:1294-1333: expand to
+    B*num_beams -> BeamSearchScorer.process per step -> _reorder_cache ->
+    finalize). The python scorer heaps become static-shape beam state
+    (ops/sampling.beam_*), the per-step past reorder becomes a batched
+    cache gather inside a lax.scan.
+
+    Returns (B, T + max_new_tokens) ids when num_return_sequences == 1,
+    else (B, R, T + max_new_tokens); with return_scores=True also the
+    length-penalized sequence scores ((B,) or (B, R)).
+    """
+    from frozenbilm_tpu.ops.sampling import (beam_finalize, beam_init,
+                                             beam_update)
+
+    B, T = input_ids.shape
+    K, G = num_beams, max_new_tokens
+    R = num_return_sequences
+    assert 1 <= R <= K, "num_return_sequences must be in [1, num_beams]"
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + G
+    V = params["lm_head"]["kernel"].shape[1]
+    assert V >= 2 * K, "vocab must cover the 2*num_beams candidate pool"
+
+    out = _forward_with_genpos(params, cfg, vt, input_ids, attention_mask,
+                               video, video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, G), (0, 0)]
+    # expand each row to K identical beams (HF _expand_inputs_for_generation
+    # repeat_interleaves; beam 1.. start at -1e9 so step 0 dedupes them)
+    k_cache = jnp.repeat(jnp.pad(out.kv[0], pad), K, axis=1)
+    v_cache = jnp.repeat(jnp.pad(out.kv[1], pad), K, axis=1)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.repeat(
+        jnp.pad(full_am.astype(jnp.float32), [(0, 0), (0, G)]), K, axis=0)
+    pos0 = jnp.repeat(jnp.sum(full_am, axis=1).astype(jnp.int32), K, axis=0)
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+
+    state = beam_init(B, K, G)
+    live_gen = jnp.zeros((B, K, G), jnp.int32)
+    logp0 = jax.nn.log_softmax(out.logits[:, -1, :].astype(jnp.float32), -1)
+    state, live_gen, tok, bidx = beam_update(
+        state, live_gen, jnp.broadcast_to(logp0[:, None, :], (B, K, V)), 0,
+        prompt_len=T, eos_token_id=eos_token_id,
+        length_penalty=length_penalty, early_stopping=early_stopping,
+        min_length=min_length)
+
+    batch_base = (jnp.arange(B)[:, None] * K)
+
+    def decode_step(carry, _):
+        k_cache, v_cache, key_mask, tok, bidx, t, pos, state, live_gen = carry
+        # HF _reorder_cache: continue from the cache rows of the beams the
+        # new live set extends
+        src = (batch_base + bidx).reshape(-1)
+        k_cache = jnp.take(k_cache, src, axis=1)
+        v_cache = jnp.take(v_cache, src, axis=1)
+        k_cache, v_cache, key_mask, logits = _decode_one(
+            params, cfg, k_cache, v_cache, key_mask, tok.reshape(-1), t, pos,
+            is_local)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        state, live_gen, tok, bidx = beam_update(
+            state, live_gen, logp, t - L0 + 1,
+            prompt_len=T, eos_token_id=eos_token_id,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            min_length=min_length)
+        return (k_cache, v_cache, key_mask, tok, bidx, t + 1, pos + 1, state,
+                live_gen), None
+
+    carry = (k_cache, v_cache, key_mask, tok, bidx,
+             jnp.asarray(L0, jnp.int32), pos0, state, live_gen)
+    if G > 1:
+        carry, _ = jax.lax.scan(decode_step, carry, None, length=G - 1)
+    state, live_gen = carry[-2], carry[-1]
+
+    seq, scores, _ = beam_finalize(
+        state, live_gen, prompt_len=T, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, length_penalty=length_penalty,
+        num_return_sequences=R)
+    prompt = jnp.broadcast_to(input_ids[:, None, :], (B, R, T))
+    full = jnp.concatenate([prompt, seq], axis=2)
+    if R == 1:
+        full, scores = full[:, 0], scores[:, 0]
+    return (full, scores) if return_scores else full
 
 
 def gptneo_prefill(params, cfg, vt, *, video, video_mask, input_ids,

@@ -198,15 +198,30 @@ class GenService:
         self._batch_counter = 0
         eos = self.tokenizer.eos_token_id
         self.eos = eos
+        self.num_beams = getattr(args, "serve_num_beams", 1)
 
-        def gen(params, ids, am, video, vm, temps, rng):
-            return bundle.greedy(
-                params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
-                input_ids=ids, attention_mask=am,
-                max_new_tokens=self.max_new, eos_token_id=eos,
-                pad_token_id=eos if eos is not None else 0,
-                temperature=temps, top_k=args.serve_top_k,
-                top_p=args.serve_top_p, rng=rng)
+        if self.num_beams > 1:
+            # beam mode is deterministic (HF is_beam_gen_mode applies no
+            # warpers without do_sample, reference gptneo.py:1294-1333);
+            # per-request temperature is ignored, validate() rejects
+            # conflicting per-request num_beams
+            def gen(params, ids, am, video, vm, temps, rng):
+                return bundle.beam(
+                    params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
+                    input_ids=ids, attention_mask=am,
+                    max_new_tokens=self.max_new, num_beams=self.num_beams,
+                    eos_token_id=eos if eos is not None else 0,
+                    pad_token_id=eos if eos is not None else 0,
+                    length_penalty=args.serve_length_penalty)
+        else:
+            def gen(params, ids, am, video, vm, temps, rng):
+                return bundle.greedy(
+                    params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
+                    input_ids=ids, attention_mask=am,
+                    max_new_tokens=self.max_new, eos_token_id=eos,
+                    pad_token_id=eos if eos is not None else 0,
+                    temperature=temps, top_k=args.serve_top_k,
+                    top_p=args.serve_top_p, rng=rng)
 
         self._gen = jax.jit(gen)
 
@@ -221,6 +236,15 @@ class GenService:
             # reject before batching: a malformed value reaching score()
             # would fail every co-batched request
             raise ValueError("'max_new_tokens' must be an integer >= 0")
+        nb = payload.get("num_beams", self.num_beams)
+        if not isinstance(nb, int) or isinstance(nb, bool) or nb < 1:
+            raise ValueError("'num_beams' must be an integer >= 1")
+        if nb not in (1, self.num_beams):
+            # num_beams shapes the compiled program: it is a server flag
+            # (--serve_num_beams), not a per-request knob
+            raise ValueError(
+                f"server decodes with num_beams={self.num_beams}; "
+                "per-request num_beams must match it (or be 1)")
         feats = payload.get("video_features")
         if feats is not None:
             arr = np.asarray(feats, np.float32)
@@ -413,6 +437,12 @@ def get_serve_parser():
     parser.add_argument("--serve_max_new_tokens", type=int, default=32,
                         help="AR serving: decode length of the compiled "
                              "program (per-request max_new_tokens truncates)")
+    parser.add_argument("--serve_num_beams", type=int, default=1,
+                        help="beam width for /generate; >1 switches the "
+                             "compiled decode program to beam search "
+                             "(deterministic; temperature is ignored)")
+    parser.add_argument("--serve_length_penalty", type=float, default=1.0,
+                        help="beam-search length penalty exponent")
     parser.add_argument("--serve_top_k", type=int, default=0,
                         help="AR serving: top-k sampling filter (0 = off)")
     parser.add_argument("--serve_top_p", type=float, default=1.0,

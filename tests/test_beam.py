@@ -1,0 +1,165 @@
+"""Beam-search parity vs the reference + HF BeamSearchScorer oracle.
+
+The reference exposes beam decoding through its vendored generate
+(reference model/gptneo.py:1294-1333): expand inputs to B*num_beams,
+per-step topk(2K) over summed logprobs, BeamSearchScorer.process,
+_reorder_cache, then finalize. The vendored file defers the loop itself to
+the 4.17 GenerationMixin.beam_search, which transformers>=4.50 no longer
+ships — so the oracle here re-runs that exact loop in torch (full
+re-forward per step, mathematically identical to the cached path) against
+the reference model, with the installed transformers' BeamSearchScorer
+(decoder_prompt_len=0 matches the vendored call signature) doing the
+process/finalize bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frozenbilm_tpu.config import VideoTextConfig
+from tests.test_gpt_parity import VT, _gptj_pair, _gptneo_pair, _inputs
+
+
+def _torch_beam(ref, ids, full_am, video, *, num_beams, max_new_tokens,
+                eos, pad, length_penalty=1.0, early_stopping=False,
+                num_return_sequences=1, min_length=0):
+    """HF 4.17 beam_search loop (the one the vendored generate dispatches
+    to), driven with full re-forwards instead of past_key_values — same
+    logits, no version-specific cache plumbing."""
+    import torch
+    from transformers.generation.beam_search import BeamSearchScorer
+
+    B, T = ids.shape
+    K = num_beams
+    max_length = T + max_new_tokens
+    scorer = BeamSearchScorer(
+        batch_size=B, num_beams=K, device="cpu",
+        length_penalty=length_penalty, do_early_stopping=early_stopping,
+        num_beam_hyps_to_keep=num_return_sequences, max_length=max_length)
+    input_ids = torch.tensor(ids).repeat_interleave(K, dim=0)
+    am = torch.tensor(full_am).float().repeat_interleave(K, dim=0)
+    vid = torch.tensor(video).repeat_interleave(K, dim=0)
+    beam_scores = torch.zeros((B, K))
+    beam_scores[:, 1:] = -1e9
+    beam_scores = beam_scores.view(-1)
+    while True:
+        # generation-style positions (prepare_inputs_for_generation:
+        # cumsum(mask)-1, pads -> 1), as the vendored generate feeds them
+        pos = am.long().cumsum(-1) - 1
+        pos = pos.masked_fill(am == 0, 1)
+        with torch.no_grad():
+            logits = ref(video=vid, input_ids=input_ids, attention_mask=am,
+                         position_ids=pos)["logits"][:, -1, :].float()
+        scores = torch.log_softmax(logits, dim=-1)
+        if min_length and input_ids.shape[-1] < min_length:
+            scores[:, eos] = -float("inf")  # MinLengthLogitsProcessor
+        V = scores.shape[-1]
+        next_scores = (scores + beam_scores[:, None]).view(B, K * V)
+        next_scores, next_tokens = torch.topk(next_scores, 2 * K, dim=1)
+        next_indices = torch.div(next_tokens, V, rounding_mode="floor")
+        next_tokens = next_tokens % V
+        out = scorer.process(input_ids, next_scores, next_tokens,
+                             next_indices, pad_token_id=pad, eos_token_id=eos)
+        beam_scores = out["next_beam_scores"]
+        beam_idx = out["next_beam_indices"]
+        input_ids = torch.cat(
+            [input_ids[beam_idx], out["next_beam_tokens"].unsqueeze(-1)], -1)
+        am = torch.cat([am[beam_idx], torch.ones((B * K, 1))], -1)
+        vid = vid[beam_idx]
+        if scorer.is_done or input_ids.shape[-1] >= max_length:
+            break
+    fin = scorer.finalize(input_ids, beam_scores, next_tokens, next_indices,
+                          max_length=max_length, pad_token_id=pad,
+                          eos_token_id=eos)
+    return np.asarray(fin["sequences"]), np.asarray(fin["sequence_scores"])
+
+
+@pytest.mark.parametrize("family", ["gptneo", "gptj"])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(num_beams=3, eos=5),  # eos rarely reachable: open-beam path
+        dict(num_beams=3, eos=None),  # eos = model's favorite token (set below)
+        dict(num_beams=4, eos=None, length_penalty=2.0, early_stopping=True,
+             num_return_sequences=2),
+        dict(num_beams=2, eos=None, length_penalty=0.0, min_length=12),
+    ],
+)
+def test_beam_matches_reference_scorer(family, kw):
+    from frozenbilm_tpu.models.gptj import gptj_beam_cached, gptj_greedy_cached
+    from frozenbilm_tpu.models.gptneo import (gptneo_beam_cached,
+                                              gptneo_greedy_cached)
+
+    ref, params, cfg = _gptj_pair() if family == "gptj" else _gptneo_pair()
+    beam_fn = gptj_beam_cached if family == "gptj" else gptneo_beam_cached
+    greedy_fn = (gptj_greedy_cached if family == "gptj"
+                 else gptneo_greedy_cached)
+    ids, am, video, vm = _inputs(B=2, T=7)
+    G = 6
+    kw = dict(kw)
+    eos = kw.pop("eos")
+    if eos is None:
+        # an eos the model actually emits, so the finish machinery runs:
+        # the first greedily-generated token
+        greedy = np.asarray(greedy_fn(
+            params, cfg, VT, video=jnp.asarray(video),
+            video_mask=jnp.asarray(vm), input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(am), max_new_tokens=2))
+        eos = int(greedy[0, ids.shape[1] + 1])
+    R = kw.get("num_return_sequences", 1)
+
+    full_am = np.concatenate([vm, am], 1)
+    ref_seq, ref_scores = _torch_beam(
+        ref, ids, full_am, video, max_new_tokens=G, eos=eos, pad=0,
+        num_beams=kw["num_beams"], length_penalty=kw.get("length_penalty", 1.0),
+        early_stopping=kw.get("early_stopping", False),
+        num_return_sequences=R, min_length=kw.get("min_length", 0))
+
+    ours, our_scores = jax.jit(lambda p, **k: beam_fn(
+        p, cfg, VT, max_new_tokens=G, eos_token_id=eos, pad_token_id=0,
+        return_scores=True, **kw, **k))(
+        params, video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am))
+    ours = np.asarray(ours).reshape(ref_seq.shape)
+    our_scores = np.asarray(our_scores).reshape(ref_scores.shape)
+    np.testing.assert_array_equal(ref_seq, ours)
+    np.testing.assert_allclose(ref_scores, our_scores, atol=2e-3, rtol=1e-3)
+
+
+def test_beam_k1_matches_greedy():
+    """num_beams=1 beam search degenerates to greedy (same argmax chain) when
+    no eos interferes."""
+    from frozenbilm_tpu.models.gptneo import (gptneo_beam_cached,
+                                              gptneo_greedy_cached)
+
+    _, params, cfg = _gptneo_pair()
+    ids, am, video, vm = _inputs(B=2, T=7)
+    kw = dict(video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+              input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am),
+              max_new_tokens=5)
+    greedy = np.asarray(gptneo_greedy_cached(params, cfg, VT, **kw))
+    beam = np.asarray(gptneo_beam_cached(params, cfg, VT, num_beams=1,
+                                         eos_token_id=100_000 % 101, **kw))
+    # eos id 100000%101=89 may appear; use an id outside the generated set
+    if 89 not in greedy[:, 7:]:
+        np.testing.assert_array_equal(greedy, beam)
+
+
+def test_beam_no_video():
+    """Text-only beam decode (features_dim=0 path) compiles and returns the
+    right shapes with scores sorted best-first."""
+    from frozenbilm_tpu.models.gptneo import gptneo_beam_cached
+
+    _, params, cfg = _gptneo_pair()
+    ids, am, _, _ = _inputs(B=2, T=7)
+    seq, scores = gptneo_beam_cached(
+        params, cfg, VideoTextConfig(features_dim=0, max_feats=0,
+                                     ds_factor_attn=0, ds_factor_ff=0),
+        video=None, video_mask=None, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(am), max_new_tokens=4, num_beams=3,
+        eos_token_id=5, num_return_sequences=3, return_scores=True)
+    assert seq.shape == (2, 3, 11)
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # best-first

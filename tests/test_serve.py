@@ -200,6 +200,45 @@ def test_serve_generate(gen_env):
         server.shutdown()
 
 
+def test_serve_generate_beam(gen_env):
+    """--serve_num_beams switches /generate to beam decode: deterministic,
+    and per-request num_beams conflicting with the server program is a 400."""
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    args = get_serve_parser().parse_args([
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b",
+        "--tokenizer_path", str(gen_env),
+        "--features_dim", "16", "--max_feats", "4", "--max_tokens", "16",
+        "--batch_size_val", "2", "--serve_host", "127.0.0.1", "--port", "0",
+        "--serve_max_new_tokens", "5", "--serve_num_beams", "3",
+    ])
+    server = build_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"{url}/generate", json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        s1, o1 = post({"prompt": "a dog", "num_beams": 3})
+        s2, o2 = post({"prompt": "a dog"})  # rides the same beam program
+        assert s1 == s2 == 200
+        assert o1["tokens"] == o2["tokens"]  # beam decode is deterministic
+        assert len(o1["tokens"]) <= 5
+        s3, o3 = post({"prompt": "x", "num_beams": 2})
+        assert s3 == 400 and "num_beams" in o3["error"]
+    finally:
+        server.shutdown()
+
+
 def test_serve_quantized(serve_env):
     server, url = _server(serve_env, extra=["--quantize", "w8a8"])
     try:
