@@ -392,9 +392,15 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
                         help="native checkpoint serialization (load is "
                              "auto-detected; orbax = per-leaf OCDBT storage)")
-    parser.add_argument("--quantize", default="none", choices=["none", "w8a8"],
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "w8a8", "w8a8_static"],
                         help="int8-quantize frozen linear layers for eval "
-                             "(W8A8 on the MXU; inference-only, see ops/quant.py)")
+                             "(W8A8 on the MXU; inference-only, see ops/quant.py). "
+                             "w8a8_static calibrates per-site activation scales "
+                             "on the first val batches instead of per-row "
+                             "dynamic quant")
+    parser.add_argument("--quant_calibration_batches", type=int, default=1,
+                        help="batches used to calibrate w8a8_static act scales")
     parser.add_argument("--length_buckets", default="",
                         help="comma-separated token-length buckets for padding; "
                              "empty = single bucket at max_tokens")

@@ -30,6 +30,8 @@ the f32 path at toy and near-full scale.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from typing import Dict
 
 import jax
@@ -58,19 +60,116 @@ def quantize_linear_params(p: Dict) -> Dict:
 
 
 def linear_w8a8(p: Dict, x: jax.Array) -> jax.Array:
-    """Dynamic per-row activation quant + int8 MXU matmul + f32 rescale."""
+    """Int8 MXU matmul + f32 rescale.
+
+    Activation quant is dynamic per-row (amax pass + per-row rescale) unless
+    the dict carries a calibrated scalar "act_scale" (see calibration/
+    apply_act_scales), in which case the amax pass disappears and the rescale
+    folds into one per-column vector — the on-chip A/B for the two lives in
+    docs/measurements/int8_micro_r3.json (w8a8_dyn vs w8a8_static rows).
+    """
     xf = x.astype(jnp.float32)
-    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+    if getattr(_CAL, "stats", None) is not None and not isinstance(x, jax.core.Tracer):
+        _record_act_amax(p, xf)
+    if "act_scale" in p:
+        xs = p["act_scale"]  # () scalar (scan slices stacked (n_layers,))
+        xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+        out_scale = xs * p["scale"]
+    else:
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+        out_scale = xs * p["scale"]
     acc = jax.lax.dot_general(
         xq, p["kernel_q"],
         dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * xs * p["scale"]
+    y = acc.astype(jnp.float32) * out_scale
     if "bias" in p:
         y = y + p["bias"]
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Static activation scales (w8a8_static): one calibrated scalar per call
+# site instead of the per-row dynamic amax. Calibration runs a few batches
+# EAGERLY (jax.disable_jit) through the already-quantized forward; each
+# linear_w8a8 call records the activation abs-max keyed by a content
+# fingerprint of its int8 kernel — stable across lax.scan slicing, batch
+# order, and tree walks, unlike python object ids. apply_act_scales then
+# walks the param tree, re-derives the same fingerprints (slicing stacked
+# kernels per layer), and writes "act_scale" leaves: () for single kernels,
+# (n_layers,) for scan stacks so scan slices them alongside kernel_q.
+# ---------------------------------------------------------------------------
+
+_CAL = threading.local()
+_CAL.stats = None
+
+
+def _fingerprint(kq) -> bytes:
+    """Content key for one (in, out) int8 kernel: exact leading bytes+shape."""
+    import numpy as np
+
+    head = np.asarray(kq[: min(4, kq.shape[0]), : min(32, kq.shape[1])])
+    return head.tobytes() + repr(kq.shape).encode()
+
+
+def _record_act_amax(p: Dict, xf: jax.Array) -> None:
+    key = _fingerprint(p["kernel_q"])
+    amax = float(jnp.max(jnp.abs(xf)))
+    prev = _CAL.stats.get(key, 0.0)
+    _CAL.stats[key] = max(prev, amax)
+
+
+@contextmanager
+def calibration(stats: Dict[bytes, float]):
+    """Collect per-site activation abs-max into `stats`. Forward passes must
+    run eagerly (wrap in jax.disable_jit()); traced calls are ignored."""
+    _CAL.stats = stats
+    try:
+        yield stats
+    finally:
+        _CAL.stats = None
+
+
+def apply_act_scales(params: Dict, stats: Dict[bytes, float]) -> Dict:
+    """Write calibrated "act_scale" leaves next to each kernel_q covered by
+    `stats`; sites never seen during calibration stay dynamic."""
+
+    def site_scale(kq):
+        if kq.ndim == 2:
+            amax = stats.get(_fingerprint(kq))
+            if amax is None:
+                return None
+            return jnp.asarray(max(amax, 1e-6) / 127.0, jnp.float32)
+        # scan stack (n_layers, in, out): per-layer scalar
+        per_layer = [stats.get(_fingerprint(kq[i])) for i in range(kq.shape[0])]
+        if any(a is None for a in per_layer):
+            return None
+        return jnp.asarray([max(a, 1e-6) / 127.0 for a in per_layer],
+                           jnp.float32)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "kernel_q" in node:
+            s = site_scale(node["kernel_q"])
+            if s is None:
+                return node
+            return {**node, "act_scale": s}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+def calibrate_act_scales(forward, params: Dict, batches) -> Dict:
+    """Run `forward(params, batch)` eagerly over `batches`, collect per-site
+    activation abs-max, and return params with static act scales applied."""
+    stats: Dict[bytes, float] = {}
+    with calibration(stats), jax.disable_jit():
+        for batch in batches:
+            forward(params, batch)
+    return apply_act_scales(params, stats)
 
 
 def quantize_tree(params: Dict, trainable: Dict | None = None,

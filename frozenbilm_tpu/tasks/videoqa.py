@@ -289,6 +289,32 @@ def train_one_epoch(state: TrainState, frozen, trainer, tokenizer, data_loader,
     return state, {k: m.global_avg for k, m in metric_logger.meters.items()}
 
 
+def _calibrate_static_scales(params, bundle, tokenizer, item, args):
+    """--quantize w8a8_static: run the first val batch(es) EAGERLY through
+    the quantized eval step, record per-site activation abs-max
+    (ops/quant.calibration), and freeze static scales into the tree —
+    killing the per-row dynamic amax/rescale on every subsequent batch.
+    Sites never exercised stay dynamic (safe fallback)."""
+    from frozenbilm_tpu.ops.quant import apply_act_scales, calibration
+
+    _, eval_step = make_qa_steps(bundle, tokenizer.mask_token_id,
+                                 item.dataset_name)
+    stats: Dict = {}
+    n = max(1, args.quant_calibration_batches)
+    with calibration(stats), jax.disable_jit():
+        for i, batch_dict in enumerate(item.loader_val):
+            if i >= n:
+                break
+            encoded = _encode(tokenizer, batch_dict["text"], args)
+            db = _device_batch(batch_dict, encoded)
+            eval_step(params, db["input_ids"], db["attention_mask"],
+                      db["video"], db["video_mask"])
+    if is_main_process():
+        print(f"w8a8_static: calibrated {len(stats)} site groups "
+              f"over {n} batch(es)")
+    return apply_act_scales(params, stats)
+
+
 def main(args):
     if args.quantize != "none" and not args.eval:
         raise ValueError("--quantize is inference-only; combine with --eval")
@@ -365,11 +391,16 @@ def main(args):
 
     tx = None
     log_stats = []
+    calibrated = False
     for item in tuples:
         a2id = item.dataset_test.a2id
         answers = [a for a, _ in sorted(a2id.items(), key=lambda kv: kv[1])]
         a2tok = answers_to_token_ids(tokenizer, answers, args.max_atokens)
         params = bundle.set_answer_embeddings(params, a2tok)
+        if args.quantize == "w8a8_static" and not calibrated:
+            params = _calibrate_static_scales(params, bundle, tokenizer,
+                                              item, args)
+            calibrated = True
 
         if not args.eval:
             steps_per_epoch = len(item.loader_train)

@@ -122,8 +122,11 @@ def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str) -> Dict:
     """
     if mode in ("", "none"):
         return params
-    if mode != "w8a8":
+    if mode not in ("w8a8", "w8a8_static"):
         raise ValueError(f"unknown --quantize mode {mode!r}")
+    # w8a8_static quantizes identically; the caller then runs activation
+    # calibration (ops/quant.calibration + apply_act_scales) over real
+    # batches to replace the per-row dynamic scales with static ones
     import jax
 
     from frozenbilm_tpu.ops.quant import quantize_tree

@@ -1,0 +1,235 @@
+"""Serve-under-load bench (VERDICT r2 next #7): drive tasks/serve.py with
+concurrent HTTP clients on the real chip and record p50/p95 latency and
+req/s per (endpoint, precision, batching window).
+
+Configurations:
+  - /qa      deberta-v2-xlarge 0.9B, bf16 and w8a8, windows {2, 10, 25} ms
+  - /generate gpt-neo-1.3B KV-cache greedy, bf16, window 10 ms
+
+Tokenizers are toy vocabs (real SPM/BPE assets are network-blocked, see
+ACCURACY.md); model dims, batch shapes, request payloads (10x768 video
+features) and the full HTTP->validate->batch->jit path are the production
+ones, so latency/throughput is representative.
+
+Run: bash scripts/tpu_run.sh scripts/serve_load.py
+Writes /tmp/serve_load_r3.json.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = os.environ.get("FROZENBILM_LOAD_SMALL", "") == "1"
+QA_CLIENTS = 4 if SMALL else 32
+GEN_CLIENTS = 2 if SMALL else 8
+DURATION_S = 3.0 if SMALL else 20.0
+QA_WINDOWS = (2.0,) if SMALL else (2.0, 10.0, 25.0)
+
+
+def _mk_qa_env(root):
+    """Toy wordpiece tokenizer + REAL deberta-v2-xlarge dims + answer vocab."""
+    model_dir = os.path.join(root, "deberta-v2-xlarge")
+    os.makedirs(model_dir, exist_ok=True)
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    words = ["question", "answer", "what", "is", "this", "doing", "a", "the",
+             "cat", "dog", "bird", "park", "run", "sleep", "red", "blue",
+             "man", "woman", "car", "ball", "in", "?", "."]
+    # fast-tokenizer json (the path get_tokenizer takes for deberta when no
+    # sentencepiece model exists; same fixture shape as test_data.py)
+    wl = {"[PAD]": 0, "[CLS]": 1, "[SEP]": 2, "[UNK]": 3, "[MASK]": 4,
+          **{w: i + 5 for i, w in enumerate(words)}}
+    tok = Tokenizer(models.WordLevel(vocab=wl, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]", pair="[CLS] $A [SEP] $B [SEP]",
+        special_tokens=[("[CLS]", 1), ("[SEP]", 2)])
+    tok.save(os.path.join(model_dir, "tokenizer.json"))
+    json.dump({"pad_token": "[PAD]", "cls_token": "[CLS]",
+               "sep_token": "[SEP]", "unk_token": "[UNK]",
+               "mask_token": "[MASK]"},
+              open(os.path.join(model_dir, "special_tokens_map.json"), "w"))
+    vocab = wl
+    # real xlarge dims; toy vocab only shrinks the embedding table
+    dims = (dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+                 intermediate_size=128, position_buckets=16) if SMALL else
+            dict(hidden_size=1536, num_hidden_layers=24,
+                 num_attention_heads=24, intermediate_size=6144,
+                 position_buckets=256))
+    json.dump({
+        "vocab_size": len(vocab), "max_position_embeddings": 512,
+        "relative_attention": True, "pos_att_type": "p2c|c2p",
+        "norm_rel_ebd": "layer_norm", "max_relative_positions": -1,
+        "type_vocab_size": 0, "pad_token_id": 0, **dims,
+    }, open(os.path.join(model_dir, "config.json"), "w"))
+    ans_vocab = os.path.join(root, "ans_vocab.json")
+    answers = [f"{a} {b}" for a in words[:20] for b in words[:20]][:1000]
+    json.dump({a: i for i, a in enumerate(answers)}, open(ans_vocab, "w"))
+    return model_dir, ans_vocab
+
+
+def _mk_gen_env(root):
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    model_dir = os.path.join(root, "gpt-neo-1p3b")
+    os.makedirs(model_dir, exist_ok=True)
+    symbols = list(bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab["<|endoftext|>"] = len(vocab)
+    json.dump(vocab, open(os.path.join(model_dir, "vocab.json"), "w"))
+    with open(os.path.join(model_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    # real gpt-neo-1.3B dims, toy byte-level vocab
+    dims = (dict(hidden_size=64, num_layers=2, num_heads=4, window_size=8)
+            if SMALL else
+            dict(hidden_size=2048, num_layers=24, num_heads=16,
+                 window_size=256))
+    json.dump({
+        "vocab_size": len(vocab), "max_position_embeddings": 2048,
+        "attention_dropout": 0.0, "resid_dropout": 0.0, "embed_dropout": 0.0,
+        **dims,
+    }, open(os.path.join(model_dir, "config.json"), "w"))
+    return model_dir
+
+
+def _serve(args_list):
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    args = get_serve_parser().parse_args(args_list)
+    server = build_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def _post(url, path, payload, timeout=120):
+    req = urllib.request.Request(
+        f"{url}{path}", json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _load(url, path, payload_fn, n_clients, duration_s):
+    """Closed-loop clients; returns locally-measured p50/p95 + req/s."""
+    lat = []
+    lock = threading.Lock()
+    stop = time.perf_counter() + duration_s
+    errors = [0]
+
+    def client(i):
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                _post(url, path, payload_fn(i))
+            except Exception:
+                errors[0] += 1
+                continue
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat.sort()
+    n = len(lat)
+    return {
+        "clients": n_clients, "duration_s": round(wall, 1), "requests": n,
+        "errors": errors[0],
+        "req_per_sec": round(n / wall, 2),
+        "p50_ms": round(lat[n // 2] * 1e3, 1) if n else None,
+        "p95_ms": round(lat[int(n * 0.95)] * 1e3, 1) if n else None,
+    }
+
+
+def main():
+    if SMALL:  # CPU smoke of the harness itself
+        from frozenbilm_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
+    import numpy as np
+
+    root = tempfile.mkdtemp(prefix="serve_load_")
+    qa_dir, ans_vocab = _mk_qa_env(root)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(10, 768)).astype(np.float32).tolist()
+    questions = ["what is the man doing", "what is this", "is the cat red",
+                 "what is the woman doing in the park"]
+
+    results = {}
+    base_qa = [
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "deberta-v2-xlarge", "--tokenizer_path", qa_dir,
+        "--msrvtt_vocab_path", ans_vocab,
+        "--max_feats", "10", "--features_dim", "768", "--max_tokens", "64",
+        "--batch_size_val", "16", "--serve_host", "127.0.0.1", "--port", "0",
+        "--param_dtype", "bfloat16",
+    ]
+
+    def qa_payload(i):
+        p = {"question": questions[i % len(questions)], "topk": 5}
+        if i % 2 == 0:
+            p["video_features"] = feats
+        return p
+
+    for variant, extra in (("bf16", []), ("int8", ["--quantize", "w8a8"])):
+        for window in QA_WINDOWS:
+            server, url = _serve(
+                base_qa + extra + ["--serve_window_ms", str(window)])
+            try:
+                # warm the HTTP path before measuring
+                _post(url, "/qa", qa_payload(0))
+                r = _load(url, "/qa", qa_payload, QA_CLIENTS, DURATION_S)
+                _, stats = 200, json.loads(urllib.request.urlopen(
+                    f"{url}/stats", timeout=30).read())
+                r["server_batches"] = stats["batches"]
+                r["avg_batch"] = round(
+                    stats["requests"] / max(1, stats["batches"]), 1)
+                results[f"qa_{variant}_w{int(window)}ms"] = r
+                print(f"# qa {variant} w={window}ms: {r}", flush=True)
+            finally:
+                server.shutdown()
+
+    gen_dir = _mk_gen_env(root)
+    base_gen = [
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b", "--tokenizer_path", gen_dir,
+        "--max_feats", "10", "--features_dim", "768", "--max_tokens", "32",
+        "--batch_size_val", "8", "--serve_host", "127.0.0.1", "--port", "0",
+        "--param_dtype", "bfloat16", "--serve_max_new_tokens", "16",
+        "--serve_window_ms", "10",
+    ]
+
+    def gen_payload(i):
+        p = {"prompt": questions[i % len(questions)], "max_new_tokens": 16}
+        if i % 2 == 0:
+            p["video_features"] = feats
+        return p
+
+    server, url = _serve(base_gen)
+    try:
+        _post(url, "/generate", gen_payload(0))
+        r = _load(url, "/generate", gen_payload, GEN_CLIENTS, DURATION_S)
+        results["generate_bf16_w10ms"] = r
+        print(f"# generate bf16: {r}", flush=True)
+    finally:
+        server.shutdown()
+
+    with open("/tmp/serve_load_r3.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("# wrote /tmp/serve_load_r3.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Round-3 on-chip measurement suite, batched in ONE process (a single axon
+claim covers everything, per CLAUDE.md):
+  1. full bench.py run (post q/kv-fusion + int8_static variants + training,
+     decode-roofline, MC, 6B legs)            -> /tmp/bench_r3_post.json
+  2. int8 xprof account (bf16/dyn/static)     -> /tmp/int8_xprof_r3.json
+  3. serve-under-load (qa bf16+int8 x 3 windows, generate) ->
+                                                 /tmp/serve_load_r3.json
+
+Run: nohup bash scripts/tpu_run.sh scripts/tpu_round3_suite.py \
+       > /tmp/tpu_suite_r3.log 2>&1 & echo $! > /tmp/tpu_suite.pid
+"""
+
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+
+def main():
+    import jax
+
+    for i in range(10):
+        try:
+            kind = jax.devices()[0].device_kind
+            break
+        except RuntimeError as e:
+            print(f"# device init failed ({e}); retry {i + 1}/10", flush=True)
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+    print(f"# device: {kind}", flush=True)
+
+    t0 = time.time()
+    try:
+        import bench
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench.main()
+        line = [ln for ln in buf.getvalue().splitlines()
+                if ln.startswith("{")][-1]
+        with open("/tmp/bench_r3_post.json", "w") as f:
+            f.write(line + "\n")
+        print(f"# bench done in {time.time() - t0:.0f}s", flush=True)
+        print(line, flush=True)
+    except Exception:
+        print("# bench FAILED:\n" + traceback.format_exc(), flush=True)
+
+    t0 = time.time()
+    try:
+        import int8_xprof
+
+        int8_xprof.main()
+        print(f"# int8 xprof done in {time.time() - t0:.0f}s", flush=True)
+    except Exception:
+        print("# int8_xprof FAILED:\n" + traceback.format_exc(), flush=True)
+
+    t0 = time.time()
+    try:
+        import serve_load
+
+        serve_load.main()
+        print(f"# serve load done in {time.time() - t0:.0f}s", flush=True)
+    except Exception:
+        print("# serve_load FAILED:\n" + traceback.format_exc(), flush=True)
+
+    print("# suite complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()

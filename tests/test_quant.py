@@ -194,6 +194,61 @@ def test_quantized_kv_cache_decode_runs():
     assert ((0 <= out) & (out < 256)).all()
 
 
+def test_static_act_scales_calibrate_and_track_f32():
+    """w8a8_static: eager calibration records per-site amax (fingerprint
+    keys survive lax.scan slicing), apply_act_scales writes per-layer
+    scalars for stacked kernels, and the static-scale forward tracks f32
+    as closely as the dynamic path."""
+    from frozenbilm_tpu.ops.quant import apply_act_scales, calibration
+    from frozenbilm_tpu.train.partition import apply_quantization
+
+    m, cfg, vt, params, (ids, am, video, vm) = _toy_deberta()
+    q = apply_quantization(params, vt, "w8a8_static")
+
+    def answer_logits(p):
+        out = m.deberta_forward(p, cfg, vt, ids, am, video, vm, mlm=False)
+        h = out.last_hidden_state[:, vt.max_feats + 3]
+        return m.deberta_answer_logits(p, cfg, h)
+
+    stats = {}
+    with calibration(stats), jax.disable_jit():
+        answer_logits(q)
+    assert stats, "no activation sites recorded"
+    qs = apply_act_scales(q, stats)
+    qkv = qs["encoder"]["layers"]["attention"]["self"]["qkv_proj"]
+    assert qkv["act_scale"].shape == (cfg.num_hidden_layers,)
+    # distinct layers see distinct activations -> per-layer scales differ
+    assert float(jnp.ptp(qkv["act_scale"])) > 0.0
+
+    ref = np.asarray(answer_logits(params))
+    stat = np.asarray(jax.jit(answer_logits)(qs))
+    corr = np.corrcoef(ref.ravel(), stat.ravel())[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_array_equal(ref.argmax(-1), stat.argmax(-1))
+
+
+def test_static_scale_single_linear_matches_dynamic():
+    from frozenbilm_tpu.ops.quant import apply_act_scales, calibration
+
+    rng = np.random.default_rng(7)
+    p = {"kernel": jnp.asarray(rng.normal(size=(256, 128)), jnp.float32) * 0.05,
+         "bias": jnp.asarray(rng.normal(size=(128,)), jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    q = quantize_linear_params(p)
+    stats = {}
+    with calibration(stats):
+        dyn = linear_w8a8(q, x)
+    qs = apply_act_scales({"lin": q}, stats)["lin"]
+    assert qs["act_scale"].shape == ()
+    stat = jax.jit(lambda pp, xx: linear_w8a8(pp, xx))(qs, x)
+    ref = linear(p, x)
+    rel = float(jnp.linalg.norm(stat - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # uncalibrated sites stay dynamic (no act_scale leaf)
+    assert "act_scale" not in apply_act_scales({"lin": q}, {})["lin"]
+    np.testing.assert_allclose(np.asarray(dyn), np.asarray(linear_w8a8(q, x)))
+
+
 def test_apply_quantization_none_is_identity():
     from frozenbilm_tpu.train.partition import apply_quantization
 

@@ -92,6 +92,21 @@ def test_zero_shot_eval(task_env, tmp_path):
     assert "acc_sub" in summary and "what" in summary
 
 
+def test_zero_shot_eval_w8a8_static(task_env, tmp_path):
+    """--quantize w8a8_static calibrates activation scales on the first val
+    batch, then evaluates with static int8 quant end to end."""
+    from frozenbilm_tpu.tasks.videoqa import main
+
+    save = tmp_path / "out_static"
+    args = _args(task_env, ["--eval", "--save_dir", str(save),
+                            "--quantize", "w8a8_static",
+                            "--quant_calibration_batches", "1"])
+    main(args)
+    summary = json.load(open(save / "msvdsummary.json"))
+    assert 0.0 <= summary["acc1"] <= summary["acc10"] <= 1.0
+    assert len(json.load(open(save / "msvd.json"))) == 12
+
+
 def test_finetune_one_epoch(task_env, tmp_path):
     from frozenbilm_tpu.tasks.videoqa import main
 
