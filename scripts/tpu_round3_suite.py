@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.join(
 def main():
     import jax
 
+    kind = None
     for i in range(10):
         try:
             kind = jax.devices()[0].device_kind
@@ -39,6 +40,9 @@ def main():
             except Exception:
                 pass
             time.sleep(60)
+    if kind is None:
+        # non-zero exit -> scripts/tpu_run.sh relaunches after its sleep
+        sys.exit(17)
     print(f"# device: {kind}", flush=True)
 
     t0 = time.time()
