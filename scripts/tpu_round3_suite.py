@@ -79,6 +79,28 @@ def main():
     except Exception:
         print("# serve_load FAILED:\n" + traceback.format_exc(), flush=True)
 
+    # rel-select A/B at the long lengths the first r3 sweep missed (L=522
+    # is beyond the 512 absolute-position cap; T=246/502 -> L=256/512)
+    t0 = time.time()
+    try:
+        import rel_select_ab
+
+        rows = []
+        for T, B in ((246, 32), (502, 16)):
+            for mode in ("onehot", "skew", "gather"):
+                try:
+                    rows.append(rel_select_ab.run(mode, T=T, B=B))
+                except Exception as e:
+                    rows.append({"mode": mode, "L": T + 10,
+                                 "error": repr(e)[:200]})
+        with open("/tmp/rel_ab_long_r3.json", "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"# rel-select long A/B done in {time.time() - t0:.0f}s",
+              flush=True)
+    except Exception:
+        print("# rel_select_ab FAILED:\n" + traceback.format_exc(),
+              flush=True)
+
     print("# suite complete", flush=True)
 
 
