@@ -147,6 +147,24 @@ def test_beam_k1_matches_greedy():
         np.testing.assert_array_equal(greedy, beam)
 
 
+def test_beam_on_quantized_tree():
+    """--quantize w8a8 + --serve_num_beams: the vocab-size probe must read
+    kernel_q when lm_head is int8-quantized."""
+    from frozenbilm_tpu.models.gptneo import gptneo_beam_cached
+    from frozenbilm_tpu.ops.quant import quantize_tree
+
+    _, params, cfg = _gptneo_pair()
+    q = quantize_tree(params, min_features=16)
+    assert "kernel_q" in q["lm_head"]
+    ids, am, video, vm = _inputs(B=2, T=7)
+    seq, scores = gptneo_beam_cached(
+        q, cfg, VT, video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(am),
+        max_new_tokens=4, num_beams=3, eos_token_id=5, return_scores=True)
+    assert seq.shape == (2, 11)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
 def test_beam_no_video():
     """Text-only beam decode (features_dim=0 path) compiles and returns the
     right shapes with scores sorted best-first."""
