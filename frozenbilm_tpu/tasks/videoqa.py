@@ -379,7 +379,8 @@ def main(args):
     if args.quantize != "none":
         if not args.eval:
             raise ValueError("--quantize is inference-only; combine with --eval")
-        params = apply_quantization(params, bundle.vt, args.quantize)
+        params = apply_quantization(params, bundle.vt, args.quantize,
+                                    calibrates=True)
 
     mesh = None
     if jax.device_count() > 1:

@@ -114,19 +114,27 @@ def apply_param_dtype(params: Dict, vt: VideoTextConfig, dtype_name: str) -> Dic
     return jax.tree.map(cast, params, mask)
 
 
-def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str) -> Dict:
+def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str,
+                       calibrates: bool = False) -> Dict:
     """--quantize hook: int8-quantize the frozen linear kernels (eval only).
 
     Runs the whole tree transform in ONE jit call — per-leaf dispatch over
     the remote-TPU tunnel is minutes-slow for the 0.9B tree (CLAUDE.md).
+
+    w8a8_static quantizes identically; the caller must then run activation
+    calibration (ops/quant.calibration + apply_act_scales) over real
+    batches — drivers without a calibration hook pass calibrates=False and
+    get an explicit error instead of silently running dynamic quant.
     """
     if mode in ("", "none"):
         return params
+    if mode == "w8a8_static" and not calibrates:
+        raise ValueError(
+            "--quantize w8a8_static needs an activation-calibration pass; "
+            "this driver has none — use the videoqa driver (calibrates on "
+            "the first val batches) or --quantize w8a8 (dynamic scales)")
     if mode not in ("w8a8", "w8a8_static"):
         raise ValueError(f"unknown --quantize mode {mode!r}")
-    # w8a8_static quantizes identically; the caller then runs activation
-    # calibration (ops/quant.calibration + apply_act_scales) over real
-    # batches to replace the per-row dynamic scales with static ones
     import jax
 
     from frozenbilm_tpu.ops.quant import quantize_tree
