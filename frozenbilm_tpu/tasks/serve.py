@@ -23,7 +23,10 @@ Endpoints (AR families — gptneo/gptj; KV-cache decode + ops/sampling.py):
                  -> {"text": str, "tokens": [int, ...]}
                  Per-request temperature rides the batch as a (B,) array
                  (0 = greedy row); top-k/top-p are server flags (static —
-                 they shape the compiled program).
+                 they shape the compiled program). --serve_num_beams K > 1
+                 switches the compiled program to deterministic beam search
+                 (+ --serve_length_penalty); a per-request "num_beams" must
+                 then be absent, 1, or K. Load bench: scripts/serve_load.py.
 Both:
   GET  /healthz -> {"status": "ok", "model": ..., "batch_size": ...}
   GET  /stats   -> request/batch counts, p50/p95 latency
