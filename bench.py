@@ -692,6 +692,21 @@ def bench_train(small: bool):
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
             key = jax.random.PRNGKey(1)
+            # static peak-HBM: the axon tunnel reports no runtime
+            # memory_stats, so ask XLA's memory analysis of the compiled
+            # step instead (argument + temp + output HBM). Must run BEFORE
+            # the first step — train_step donates `state`. One extra remote
+            # compile per variant; never let a failure void the timing leg.
+            static_hbm_gb = 0.0
+            try:
+                ma = trainer._train_step.lower(
+                    state, frozen, batch, key).compile().memory_analysis()
+                static_hbm_gb = (
+                    ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                    + ma.output_size_in_bytes
+                    - getattr(ma, "alias_size_in_bytes", 0)) / 1024**3
+            except Exception:
+                pass
             state, metrics = trainer.train_step(state, frozen, batch, key)
             warm = float(metrics["loss"])  # compile + warmup barrier
             t0 = time.perf_counter()
@@ -705,7 +720,8 @@ def bench_train(small: bool):
                 "items_per_sec": round(B * steps / dt, 2),
                 "tflops": round(step_flops * steps / dt / 1e12, 2),
                 "peak_hbm_gb": round(
-                    mem.get("peak_bytes_in_use_mb", 0) / 1024, 2),
+                    mem.get("peak_bytes_in_use_mb", 0) / 1024
+                    or static_hbm_gb, 2),
                 # diagnostic, not an assert: a non-finite loss on exotic
                 # (shape, dtype) combos must not void the timing data
                 "loss_first": round(warm, 4), "loss_final": round(final, 4),

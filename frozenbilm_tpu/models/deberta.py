@@ -52,6 +52,7 @@ from frozenbilm_tpu.ops.rel_pos import (
     onehot_gather_tables,
     skew_reorder_indices,
     skew_select,
+    skew_select_rect,
     used_bucket_range,
 )
 
@@ -316,46 +317,73 @@ def _disentangled_attention(
                 else None
             )
         onehot = rel_idx["onehot"]
-        if "c2p" in cfg.pos_att_type:
-            # (B,H,Lq,band|2L-1) then Toeplitz selection along the bucket axis
-            c2p_full = jnp.einsum(
-                "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
-            ).astype(adt)
-            if mode == "skew":
-                c2p = skew_select(c2p_full)
-            elif onehot is not None:
-                # one-hot contraction instead of gather: TPU gathers force
-                # layout-transpose copies of the whole (B,H,L,band) operand
-                c2p = jnp.einsum(
-                    "bhik,ijk->bhij", c2p_full,
-                    jnp.asarray(onehot[0], c2p_full.dtype),
+        chunk = rel_idx.get("chunk") if mode == "skew" else None
+
+        def _skew_chunked(x, pos, C):
+            # Toeplitz selection, C query rows at a time: chunk [i0, i0+Cc)
+            # only needs reordered-table rows [L-Cc-i0, 2L-1-i0) (static
+            # slices — offsets are trace-time ints), bounding the temp to
+            # (B, H, C, L+Cc-1) and cutting FLOPs+copies ~(L+C)/2L vs the
+            # full skew. See ops/rel_pos.skew_select_rect.
+            L = x.shape[2]
+            parts = []
+            for i0 in range(0, L, C):
+                Cc = min(C, L - i0)
+                w = pos[:, L - Cc - i0 : 2 * L - 1 - i0, :]  # (H, L+Cc-1, d)
+                a = jnp.einsum(
+                    "bhid,hkd->bhik", x[:, :, i0 : i0 + Cc], w,
                     preferred_element_type=jnp.float32,
                 ).astype(adt)
+                parts.append(skew_select_rect(a, L))
+            return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+        if "c2p" in cfg.pos_att_type:
+            if chunk:
+                c2p = _skew_chunked(q, pos_key, chunk)
             else:
-                c2p = jnp.take_along_axis(
-                    c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
-                )
+                # (B,H,Lq,band|2L-1) then Toeplitz selection on the bucket axis
+                c2p_full = jnp.einsum(
+                    "bhid,hkd->bhik", q, pos_key, preferred_element_type=jnp.float32
+                ).astype(adt)
+                if mode == "skew":
+                    c2p = skew_select(c2p_full)
+                elif onehot is not None:
+                    # one-hot contraction instead of gather: TPU gathers force
+                    # layout-transpose copies of the whole (B,H,L,band) operand
+                    c2p = jnp.einsum(
+                        "bhik,ijk->bhij", c2p_full,
+                        jnp.asarray(onehot[0], c2p_full.dtype),
+                        preferred_element_type=jnp.float32,
+                    ).astype(adt)
+                else:
+                    c2p = jnp.take_along_axis(
+                        c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
+                    )
             scores = scores + c2p / scale
         if "p2c" in cfg.pos_att_type:
-            p2c_full = jnp.einsum(
-                "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
-            ).astype(adt)
-            if mode == "skew":
-                # skew yields S[j, i]; the bias wants [i, j]
-                p2c_t = jnp.swapaxes(skew_select(p2c_full), -1, -2)
-            elif onehot is not None:
-                # p2c table is indexed [j, i, k'] so this lands directly as [i, j]
-                p2c_t = jnp.einsum(
-                    "bhjk,jik->bhij", p2c_full,
-                    jnp.asarray(onehot[1], p2c_full.dtype),
-                    preferred_element_type=jnp.float32,
-                ).astype(adt)
+            if chunk:
+                # same chunking over the KEY axis j; skew yields S[j, i]
+                p2c_t = jnp.swapaxes(_skew_chunked(k, pos_query, chunk), -1, -2)
             else:
-                p2c_t = jnp.swapaxes(
-                    jnp.take_along_axis(
-                        p2c_full, jnp.asarray(rel_idx["p2c"])[None, None], axis=-1
-                    ), -1, -2,
-                )
+                p2c_full = jnp.einsum(
+                    "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
+                ).astype(adt)
+                if mode == "skew":
+                    # skew yields S[j, i]; the bias wants [i, j]
+                    p2c_t = jnp.swapaxes(skew_select(p2c_full), -1, -2)
+                elif onehot is not None:
+                    # p2c table is indexed [j, i, k'] so it lands as [i, j]
+                    p2c_t = jnp.einsum(
+                        "bhjk,jik->bhij", p2c_full,
+                        jnp.asarray(onehot[1], p2c_full.dtype),
+                        preferred_element_type=jnp.float32,
+                    ).astype(adt)
+                else:
+                    p2c_t = jnp.swapaxes(
+                        jnp.take_along_axis(
+                            p2c_full, jnp.asarray(rel_idx["p2c"])[None, None], axis=-1
+                        ), -1, -2,
+                    )
             scores = scores + p2c_t / scale
 
     probs = masked_softmax(scores, mask_outer[:, None, :, :])
@@ -464,7 +492,8 @@ def _encoder_forward(
         # L=128 gather 269 > skew 202 (onehot table gate tripped); L=266
         # skew 48.2 > gather 21.9 (2.2x). Onehot while its (L, L, band)
         # constant fits; gather until skew's reordered-projection overhead
-        # amortizes (~L=192); skew beyond.
+        # amortizes (~L=192); skew beyond (query/key-chunked at L >= 256 —
+        # see the chunk selection below).
         if L * L * band <= 4_000_000:
             mode = "onehot"
         elif L < 192:
@@ -484,12 +513,24 @@ def _encoder_forward(
         else:  # footprint gate tripped: fall back to the gather oracle
             mode = "gather"
     g_c2p = g_p2c = None
+    chunk = None
     if mode == "skew":
         g_c2p, g_p2c = skew_reorder_indices(
             L, cfg.pos_ebd_size, cfg.position_buckets,
             cfg.effective_max_relative_positions,
         )
         g_c2p, g_p2c = g_c2p - lo, g_p2c - lo
+        # Query/key-chunked skew: bounds the selection temp to
+        # (B, H, C, L+C-1) and cuts its FLOPs+copies ~(L+C)/2L (the full
+        # skew's (B, H, L, 2L-1) temp is what cratered the L=512 MC shape
+        # to 14 TF/s and OOM'd remat — docs/measurements/mc_profile_r3.json).
+        # FROZENBILM_SKEW_CHUNK=0 forces the unchunked skew; any other int
+        # forces that chunk size.
+        env_chunk = os.environ.get("FROZENBILM_SKEW_CHUNK", "")
+        if env_chunk:
+            chunk = int(env_chunk) or None
+        elif L >= 256:
+            chunk = 128
     rel_idx = {
         "mode": mode,
         "c2p": c2p_idx - lo,
@@ -497,6 +538,7 @@ def _encoder_forward(
         "onehot": onehot,
         "g_c2p": g_c2p,
         "g_p2c": g_p2c,
+        "chunk": chunk,
     }
 
     layers = enc_params["layers"]

@@ -149,12 +149,31 @@ def skew_select(A):
     dims, slice at offset L-1, reshape to (L, 2L-1), keep the first L
     columns. Two layout copies instead of a gather or one-hot contraction.
     """
+    L = A.shape[-2]
+    assert A.shape[-1] == 2 * L - 1, A.shape[-2:]
+    return skew_select_rect(A, L)
+
+
+def skew_select_rect(A, key_len: int):
+    """(..., C, key_len+C-1) -> (..., C, key_len): T[i, j] = A[i, (C-1)-i+j].
+
+    Rectangular skew for QUERY-CHUNKED Toeplitz selection: a chunk of C
+    query rows starting at i0 only touches diagonal-reordered table rows
+    [L-C-i0, 2L-1-i0) — width L+C-1 instead of 2L-1 — so both the matmul
+    FLOPs and the pad/reshape copy traffic shrink by ~(L+C)/2L, and the
+    peak (B, H, C, L+C-1) temp is C/L of the full-skew one (the full
+    (B, H, L, 2L-1) f32 temp was 3.75 GB at the MC shape L=512, B=80 and
+    OOM'd the remat variant — docs/measurements/mc_profile_r3.json).
+    Proof of the flatten trick: flat index of T[i, j] is
+    i*(M+1) + (C-1) - i + j = i*M + (C-1) + j with M = key_len+C-1, so one
+    pad column, a slice at offset C-1, and an (C, M) reshape realign rows.
+    """
     import jax
     import jax.numpy as jnp
 
-    *lead, L, M = A.shape
-    assert M == 2 * L - 1, (L, M)
-    Ap = jnp.pad(A, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])  # (..., L, 2L)
-    flat = Ap.reshape(*lead, L * 2 * L)
-    T = jax.lax.slice_in_dim(flat, L - 1, L - 1 + L * (2 * L - 1), axis=-1)
-    return T.reshape(*lead, L, 2 * L - 1)[..., :L]
+    *lead, C, M = A.shape
+    assert M == key_len + C - 1, (C, M, key_len)
+    Ap = jnp.pad(A, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])  # (..., C, M+1)
+    flat = Ap.reshape(*lead, C * (M + 1))
+    T = jax.lax.slice_in_dim(flat, C - 1, C - 1 + C * M, axis=-1)
+    return T.reshape(*lead, C, M)[..., :key_len]

@@ -15,7 +15,17 @@ import time
 
 
 def run(mode: str, T: int = 64, B: int = 128):
-    os.environ["FROZENBILM_REL_SELECT"] = mode
+    # "skewc" = query/key-chunked skew (C=128); "skew" pins chunking OFF so
+    # the two stay distinguishable at L >= 256 where auto-chunk kicks in.
+    if mode == "skewc":
+        os.environ["FROZENBILM_REL_SELECT"] = "skew"
+        os.environ["FROZENBILM_SKEW_CHUNK"] = "128"
+    elif mode == "skew":
+        os.environ["FROZENBILM_REL_SELECT"] = mode
+        os.environ["FROZENBILM_SKEW_CHUNK"] = "0"
+    else:
+        os.environ["FROZENBILM_REL_SELECT"] = mode
+        os.environ.pop("FROZENBILM_SKEW_CHUNK", None)
     import importlib
 
     import jax

@@ -29,7 +29,12 @@ def main():
     kind = None
     for i in range(10):
         try:
-            kind = jax.devices()[0].device_kind
+            got = jax.devices()[0].device_kind
+            # HARD TPU check: under JAX_PLATFORMS='' a failed axon
+            # registration silently falls back to cpu — never bench that.
+            if "TPU" not in got.upper():
+                raise RuntimeError(f"non-TPU device {got!r}")
+            kind = got
             break
         except RuntimeError as e:
             print(f"# device init failed ({e}); retry {i + 1}/10", flush=True)
@@ -87,7 +92,7 @@ def main():
 
         rows = []
         for T, B in ((246, 32), (502, 16)):
-            for mode in ("onehot", "skew", "gather"):
+            for mode in ("onehot", "skew", "skewc", "gather"):
                 try:
                     rows.append(rel_select_ab.run(mode, T=T, B=B))
                 except Exception as e:

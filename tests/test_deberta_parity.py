@@ -211,11 +211,22 @@ def test_rel_select_modes_equivalent(monkeypatch):
     ref, params, cfg, vt = _build_pair()
     ids, am, video, vm = _inputs()
     outs = {}
-    for mode in ("skew", "onehot", "gather"):
+    # skew+chunk cases: divisible, non-divisible (forces a ragged last
+    # chunk through skew_select_rect), and chunk > L (degenerates to the
+    # plain skew window)
+    cases = [("skew", None), ("onehot", None), ("gather", None),
+             ("skew", 8), ("skew", 5), ("skew", 4096)]
+    for mode, chunk in cases:
         monkeypatch.setenv("FROZENBILM_REL_SELECT", mode)
+        if chunk is None:
+            monkeypatch.delenv("FROZENBILM_SKEW_CHUNK", raising=False)
+        else:
+            monkeypatch.setenv("FROZENBILM_SKEW_CHUNK", str(chunk))
         out = deberta_forward(
             params, cfg, vt, jnp.asarray(ids), jnp.asarray(am),
             jnp.asarray(video), jnp.asarray(vm), mlm=True)
-        outs[mode] = np.asarray(out.logits)
-    np.testing.assert_allclose(outs["skew"], outs["onehot"], atol=2e-5, rtol=1e-5)
-    np.testing.assert_allclose(outs["skew"], outs["gather"], atol=2e-5, rtol=1e-5)
+        outs[(mode, chunk)] = np.asarray(out.logits)
+    ref_out = outs[("gather", None)]
+    for key, got in outs.items():
+        np.testing.assert_allclose(got, ref_out, atol=2e-5, rtol=1e-5,
+                                   err_msg=str(key))
