@@ -106,6 +106,18 @@ def main():
         print("# rel_select_ab FAILED:\n" + traceback.format_exc(),
               flush=True)
 
+    # length-bucket vs longest-pad on the MC shape (VERDICT r2 next #5's
+    # on-chip proof): same mixed-length row population both ways
+    t0 = time.time()
+    try:
+        import mc_bucket_ab
+
+        os.environ["FROZENBILM_AB_OUT"] = "/tmp/mc_bucket_ab.json"
+        mc_bucket_ab.main()
+        print(f"# mc bucket A/B done in {time.time() - t0:.0f}s", flush=True)
+    except Exception:
+        print("# mc_bucket_ab FAILED:\n" + traceback.format_exc(), flush=True)
+
     print("# suite complete", flush=True)
 
 
