@@ -106,6 +106,16 @@ def main():
         print("# rel_select_ab FAILED:\n" + traceback.format_exc(),
               flush=True)
 
+    # train-step xprof: explain the ~25% training MFU with a class breakdown
+    t0 = time.time()
+    try:
+        import train_xprof
+
+        train_xprof.main()
+        print(f"# train xprof done in {time.time() - t0:.0f}s", flush=True)
+    except Exception:
+        print("# train_xprof FAILED:\n" + traceback.format_exc(), flush=True)
+
     # length-bucket vs longest-pad on the MC shape (VERDICT r2 next #5's
     # on-chip proof): same mixed-length row population both ways
     t0 = time.time()
