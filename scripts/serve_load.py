@@ -226,6 +226,12 @@ def main():
     finally:
         server.shutdown()
 
+    # provenance stamp: a small-mode CPU smoke must never be mistaken for
+    # an on-chip measurement when reading this file later
+    import jax
+
+    results["_meta"] = {"device_kind": jax.devices()[0].device_kind,
+                        "small": SMALL, "duration_s": DURATION_S}
     with open("/tmp/serve_load_r3.json", "w") as f:
         json.dump(results, f, indent=1)
     print("# wrote /tmp/serve_load_r3.json", flush=True)
