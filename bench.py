@@ -644,19 +644,24 @@ def bench_train(small: bool):
     else:
         cfg = DebertaV2Config()  # deberta-v2-xlarge (0.9B)
         B, T, F, steps, feat_dim = 32, 64, 10, 6, 768
-        variants = (("base", False, 1), ("remat", True, 1),
-                    ("grad_accum4", False, 4))
+        # base_b64 doubles the batch to locate the throughput knee
+        variants = (("base", False, 1), ("base_b64", False, 1),
+                    ("remat", True, 1), ("grad_accum4", False, 4))
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
     rng = np.random.default_rng(0)
-    batch = {
-        "input_ids": jnp.asarray(rng.integers(5, cfg.vocab_size, size=(B, T))),
-        "attention_mask": jnp.ones((B, T), jnp.int32),
-        "special_tokens_mask": jnp.zeros((B, T), jnp.int32),
-        "video": jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16),
-        "video_mask": jnp.ones((B, F), jnp.int32),
-    }
+
+    def make_batch(Bv):
+        return {
+            "input_ids": jnp.asarray(
+                rng.integers(5, cfg.vocab_size, size=(Bv, T))),
+            "attention_mask": jnp.ones((Bv, T), jnp.int32),
+            "special_tokens_mask": jnp.zeros((Bv, T), jnp.int32),
+            "video": jnp.asarray(
+                rng.normal(size=(Bv, F, feat_dim)), jnp.bfloat16),
+            "video_mask": jnp.ones((Bv, F), jnp.int32),
+        }
 
     # analytic fwd matmul FLOPs (same terms as bench_deberta) + the
     # full-vocab MLM head every position pays in pretraining
@@ -665,14 +670,19 @@ def bench_train(small: bool):
     S = T + F
     adapter_tok = h * h // 8 if vt.ds_factor_attn else 0
     frozen_tok = 8 * h * h + 4 * h * inter + 4 * S * h + 8 * h * cfg.position_buckets
-    fwd_frozen = B * (S * L_layers * frozen_tok
-                      + 2 * S * h * cfg.vocab_size)  # lm head (frozen)
-    fwd_train = B * (S * L_layers * adapter_tok
-                     + 2 * F * vt.features_dim * h)  # adapters + linear_video
-    step_flops = 2 * fwd_frozen + 3 * fwd_train
+
+    def flops_for(Bv):
+        fwd_frozen = Bv * (S * L_layers * frozen_tok
+                           + 2 * S * h * cfg.vocab_size)  # lm head (frozen)
+        fwd_train = Bv * (S * L_layers * adapter_tok
+                          + 2 * F * vt.features_dim * h)  # adapters+linear_video
+        return 2 * fwd_frozen + 3 * fwd_train
 
     out = {}
     for name, remat, accum in variants:
+        Bv = 2 * B if name == "base_b64" else B
+        batch = make_batch(Bv)
+        step_flops = flops_for(Bv)
         # fresh params per trainer: train_step donates the state, and
         # create_train_state may alias the incoming tree (CLAUDE.md)
         params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(
@@ -717,7 +727,7 @@ def bench_train(small: bool):
             mem = device_memory_stats()
             out[name] = {
                 "steps_per_sec": round(steps / dt, 3),
-                "items_per_sec": round(B * steps / dt, 2),
+                "items_per_sec": round(Bv * steps / dt, 2),
                 "tflops": round(step_flops * steps / dt / 1e12, 2),
                 "peak_hbm_gb": round(
                     mem.get("peak_bytes_in_use_mb", 0) / 1024
