@@ -217,14 +217,20 @@ def main():
             p["video_features"] = feats
         return p
 
-    server, url = _serve(base_gen)
-    try:
-        _post(url, "/generate", gen_payload(0))
-        r = _load(url, "/generate", gen_payload, GEN_CLIENTS, DURATION_S)
-        results["generate_bf16_w10ms"] = r
-        print(f"# generate bf16: {r}", flush=True)
-    finally:
-        server.shutdown()
+    # decode is bandwidth-bound, so int8 weights are where W8A8 pays
+    # (bench.py decode leg: 1.34x steps/s at B=8) — measure both servings
+    gen_variants = [("bf16", [])]
+    if not SMALL:
+        gen_variants.append(("int8", ["--quantize", "w8a8"]))
+    for variant, extra in gen_variants:
+        server, url = _serve(base_gen + extra)
+        try:
+            _post(url, "/generate", gen_payload(0))
+            r = _load(url, "/generate", gen_payload, GEN_CLIENTS, DURATION_S)
+            results[f"generate_{variant}_w10ms"] = r
+            print(f"# generate {variant}: {r}", flush=True)
+        finally:
+            server.shutdown()
 
     # provenance stamp: a small-mode CPU smoke must never be mistaken for
     # an on-chip measurement when reading this file later
