@@ -179,3 +179,24 @@ def test_length_buckets_wired_into_every_driver_encode_path():
                        buckets=parse_length_buckets(args))
     assert out["input_ids"].shape[1] == 8
     assert parse_length_buckets(_bucket_args(length_buckets="")) is None
+
+
+def test_skew_select_rect_property():
+    """T[i, j] == A[i, (C-1)-i+j] for square, ragged, and single-row chunks
+    (the rectangular Toeplitz skew behind the chunked c2p/p2c selection)."""
+    import numpy as np
+
+    from frozenbilm_tpu.ops.rel_pos import skew_select, skew_select_rect
+
+    rng = np.random.default_rng(0)
+    for C, L in [(1, 7), (3, 7), (7, 7), (16, 33)]:
+        A = jnp.asarray(rng.normal(size=(2, C, L + C - 1)))
+        T = np.asarray(skew_select_rect(A, L))
+        assert T.shape == (2, C, L)
+        for i in range(C):
+            for j in range(L):
+                assert abs(T[1, i, j] - float(A[1, i, (C - 1) - i + j])) < 1e-12
+    # square case stays the classic skew
+    A = jnp.asarray(rng.normal(size=(5, 9)))
+    np.testing.assert_array_equal(
+        np.asarray(skew_select(A)), np.asarray(skew_select_rect(A, 5)))
