@@ -203,7 +203,9 @@ def test_static_act_scales_calibrate_and_track_f32():
     from frozenbilm_tpu.train.partition import apply_quantization
 
     m, cfg, vt, params, (ids, am, video, vm) = _toy_deberta()
-    q = apply_quantization(params, vt, "w8a8_static")
+    # calibrates=True: this test IS the calibration pass (the driver-side
+    # guard rejects w8a8_static without one, commit 9916c6b)
+    q = apply_quantization(params, vt, "w8a8_static", calibrates=True)
 
     def answer_logits(p):
         out = m.deberta_forward(p, cfg, vt, ids, am, video, vm, mlm=False)
