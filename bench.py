@@ -190,16 +190,21 @@ def bench_deberta(small: bool):
         out["int8"] = {"qa_pairs_per_sec": B * iters / dt_q,
                        "tflops": flops1 * iters / dt_q / 1e12,
                        "speedup_vs_bf16": dt / dt_q}
+    except Exception as e:  # record, never fail the primary bench
+        out["int8"] = {"error": repr(e)[:300]}
+        return out
+    try:
         # w8a8_static: calibrated scalar act scales (no per-row amax pass;
         # rescale folds into one per-column vector). Throughput-only probe:
         # scale VALUES don't change the program, so synthetic ones measure
-        # the same compiled graph real calibration produces.
+        # the same compiled graph real calibration produces. Own try block:
+        # a transient here must not clobber the measured dynamic-int8 leg.
         dt_s = timed(loop, _with_static_scales(qparams), ids, am, video, vm)
         out["int8_static"] = {"qa_pairs_per_sec": B * iters / dt_s,
                               "tflops": flops1 * iters / dt_s / 1e12,
                               "speedup_vs_bf16": dt / dt_s}
-    except Exception as e:  # record, never fail the primary bench
-        out["int8"] = {"error": repr(e)[:300]}
+    except Exception as e:
+        out["int8_static"] = {"error": repr(e)[:300]}
     return out
 
 
@@ -256,12 +261,16 @@ def bench_clip(small: bool):
         out["int8"] = {"frames_per_sec": B * iters / dt_q,
                        "tflops": flops1 * iters / dt_q / 1e12,
                        "speedup_vs_bf16": dt / dt_q}
+    except Exception as e:
+        out["int8"] = {"error": repr(e)[:300]}
+        return out
+    try:
         dt_s = timed(loop, _with_static_scales(qparams), pixels)
         out["int8_static"] = {"frames_per_sec": B * iters / dt_s,
                               "tflops": flops1 * iters / dt_s / 1e12,
                               "speedup_vs_bf16": dt / dt_s}
     except Exception as e:
-        out["int8"] = {"error": repr(e)[:300]}
+        out["int8_static"] = {"error": repr(e)[:300]}
     return out
 
 
@@ -508,6 +517,12 @@ def bench_gptj6b(small: bool):
             dt = timed(loop, params, ids, am, video, vm, targets)
             out[name] = {"answers_per_sec": rows * iters / dt,
                          "tflops": flops1 * iters / dt / 1e12}
+        except Exception as e:
+            out[name] = {"error": repr(e)[:300]}
+            del params
+            gc.collect()
+            continue
+        try:  # own try: a prefix-leg failure must not erase the tiled result
             if jax.default_backend() != "cpu":
                 dt_p = timed(loop_prefix, params, ids_p, am_p,
                              video_p, vm_p, tgt_p)
@@ -515,7 +530,7 @@ def bench_gptj6b(small: bool):
                     "answers_per_sec": nq * chunk * iters / dt_p,
                     "tflops": flops_prefix * iters / dt_p / 1e12}
         except Exception as e:
-            out[name] = {"error": repr(e)[:300]}
+            out[name]["prefix"] = {"error": repr(e)[:300]}
         del params
         gc.collect()
     return out

@@ -16,7 +16,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e10)
+# python float, NOT jnp.float32: a module-level jax.Array closure
+# constant is hoisted as a const_arg of every compiled program that
+# touches it (jax 0.9 constants doc), and sharing ONE such array across
+# several jitted programs in a process corrupts the later programs'
+# const_args ("Execution supplied 24 buffers but compiled program
+# expected 29" on their second call). A literal embeds instead.
+NEG_INF = -1e10
 
 
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -109,7 +115,7 @@ def select_token(
 
 from typing import NamedTuple  # noqa: E402
 
-_FIN_EMPTY = jnp.float32(-1e30)
+_FIN_EMPTY = -1e30  # python float, not jnp: see NEG_INF note
 
 
 class BeamState(NamedTuple):

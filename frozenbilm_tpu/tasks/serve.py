@@ -206,9 +206,13 @@ class GenService:
         if self.num_beams > 1:
             # beam mode is deterministic (HF is_beam_gen_mode applies no
             # warpers without do_sample, reference gptneo.py:1294-1333);
-            # per-request temperature is ignored, validate() rejects
-            # conflicting per-request num_beams
-            def gen(params, ids, am, video, vm, temps, rng):
+            # per-request temperature is rejected by validate(). The jitted
+            # callable takes ONLY the args the program uses: passing unused
+            # (temps, rng) tripped jax's dropped-argument fastpath when a
+            # greedy program with the same treedef lived in the same
+            # process ("Execution supplied 26 buffers but compiled program
+            # expected 29"), seen greedy-server-then-beam-server in tests.
+            def beam_only(params, ids, am, video, vm):
                 return bundle.beam(
                     params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
                     input_ids=ids, attention_mask=am,
@@ -216,6 +220,13 @@ class GenService:
                     eos_token_id=eos if eos is not None else 0,
                     pad_token_id=eos if eos is not None else 0,
                     length_penalty=args.serve_length_penalty)
+
+            _jb = jax.jit(beam_only)
+
+            def gen(params, ids, am, video, vm, temps, rng):
+                return _jb(params, ids, am, video, vm)
+
+            self._gen = gen
         else:
             def gen(params, ids, am, video, vm, temps, rng):
                 return bundle.greedy(
@@ -226,7 +237,7 @@ class GenService:
                     temperature=temps, top_k=args.serve_top_k,
                     top_p=args.serve_top_p, rng=rng)
 
-        self._gen = jax.jit(gen)
+            self._gen = jax.jit(gen)
 
     def validate(self, payload: Dict) -> None:
         if not isinstance(payload.get("prompt"), str) or not payload["prompt"]:
@@ -248,6 +259,13 @@ class GenService:
             raise ValueError(
                 f"server decodes with num_beams={self.num_beams}; "
                 "per-request num_beams must match it (or be 1)")
+        if self.num_beams > 1 and t:
+            # beam decode is deterministic (no warpers without do_sample,
+            # reference gptneo.py:1294-1333) — reject rather than silently
+            # ignore a sampling knob, same contract as num_beams above
+            raise ValueError(
+                "server decodes with beam search; per-request "
+                "'temperature' is not applicable (omit it or send 0)")
         feats = payload.get("video_features")
         if feats is not None:
             arr = np.asarray(feats, np.float32)
@@ -259,8 +277,15 @@ class GenService:
         n = len(requests)
         B = self.batch_size
         reqs = requests + [requests[-1]] * (B - n)
+        # fixed T = max_tokens (buckets with one entry): ONE compiled decode
+        # program for the service's lifetime — no mid-traffic compiles, and
+        # it sidesteps a jax-0.9 dispatch fault where RETRACING the beam
+        # program after a greedy program existed in the same process dies
+        # with "Execution supplied 24 buffers but compiled program expected
+        # 29" (greedy-then-beam servers, seen in tests/test_serve.py)
         enc = encode_batch(self.tokenizer, [r["prompt"] for r in reqs],
-                           self.args.max_tokens, left_pad=True)
+                           self.args.max_tokens, left_pad=True,
+                           buckets=(self.args.max_tokens,))
         F, D = self.args.max_feats, self.args.features_dim
         video = np.zeros((B, F, D), np.float32)
         vmask = np.zeros((B, F), np.int32)

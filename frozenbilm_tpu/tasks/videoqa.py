@@ -294,24 +294,50 @@ def _calibrate_static_scales(params, bundle, tokenizer, item, args):
     the quantized eval step, record per-site activation abs-max
     (ops/quant.calibration), and freeze static scales into the tree —
     killing the per-row dynamic amax/rescale on every subsequent batch.
-    Sites never exercised stay dynamic (safe fallback)."""
+    Sites never exercised stay dynamic (safe fallback).
+
+    The eager pass runs on the HOST CPU backend when one is available:
+    activation statistics are device-independent, and an eager (disable_jit)
+    0.9B forward over the remote-TPU tunnel is thousands of individually
+    dispatched ops plus a blocking host fetch per linear site — minutes per
+    batch, easily longer than the eval it is meant to speed up. One tree
+    transfer + a CPU forward is the cheap equivalent.
+    """
     from frozenbilm_tpu.ops.quant import apply_act_scales, calibration
 
     _, eval_step = make_qa_steps(bundle, tokenizer.mask_token_id,
                                  item.dataset_name)
+    cal_params, cpu = params, None
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        if params is not None and jax.tree.leaves(params):
+            first = jax.tree.leaves(params)[0]
+            on_cpu = getattr(first, "devices", lambda: set())() == {cpu}
+        else:
+            on_cpu = False
+        if not on_cpu:
+            cal_params = jax.device_put(params, cpu)
+    except RuntimeError:  # no cpu backend registered: calibrate in place
+        cpu = None
     stats: Dict = {}
     n = max(1, args.quant_calibration_batches)
-    with calibration(stats), jax.disable_jit():
+    import contextlib
+
+    dev_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with calibration(stats), jax.disable_jit(), dev_ctx:
         for i, batch_dict in enumerate(item.loader_val):
             if i >= n:
                 break
             encoded = _encode(tokenizer, batch_dict["text"], args)
             db = _device_batch(batch_dict, encoded)
-            eval_step(params, db["input_ids"], db["attention_mask"],
+            if cpu is not None:
+                db = jax.device_put(db, cpu)
+            eval_step(cal_params, db["input_ids"], db["attention_mask"],
                       db["video"], db["video_mask"])
     if is_main_process():
         print(f"w8a8_static: calibrated {len(stats)} site groups "
-              f"over {n} batch(es)")
+              f"over {n} batch(es)"
+              + (" on host cpu" if cpu is not None else ""))
     return apply_act_scales(params, stats)
 
 

@@ -74,7 +74,6 @@ def main():
             data = json.load(fh)
         for ev in data.get("traceEvents", []):
             if ev.get("ph") == "X" and "dur" in ev:
-                pid_name = ev.get("pid")
                 name = ev.get("name", "")
                 tot.setdefault(name, 0.0)
                 tot[name] += ev["dur"] / 1e6

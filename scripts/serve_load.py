@@ -129,7 +129,8 @@ def _load(url, path, payload_fn, n_clients, duration_s):
             try:
                 _post(url, path, payload_fn(i))
             except Exception:
-                errors[0] += 1
+                with lock:  # same lock as lat: keep counters consistent
+                    errors[0] += 1
                 continue
             with lock:
                 lat.append(time.perf_counter() - t0)

@@ -39,8 +39,8 @@ def main():
     import rel_select_ab
 
     results = []
-    b_for = {64: 128, 118: 128, 256: 32, 512: 16}
-    for T in (64, 118, 256, 512):
+    b_for = {64: 128, 118: 128, 256: 32, 502: 16}
+    for T in (64, 118, 256, 502):
         for mode in ("onehot", "skew", "gather"):
             try:
                 results.append(rel_select_ab.run(mode, T=T, B=b_for[T]))
