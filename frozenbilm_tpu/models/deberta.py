@@ -638,6 +638,7 @@ def deberta_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    gather_loss_positions: int = 0,
 ) -> DebertaOutput:
     """Full forward pass (deberta.py:1414-1501).
 
@@ -695,9 +696,38 @@ def deberta_forward(
         decoded = final
 
     # --- head ---
+    if labels is not None and use_video:
+        video_labels = jnp.full(video.shape[:2], -100, dtype=labels.dtype)
+        labels = jnp.concatenate([video_labels, labels], axis=1)
+
     answers = params.get("answers")
     if answers is not None and not mlm:
         logits = _lm_head(params["lm_head"], cfg, decoded, answers["embeddings"], answers["bias"])
+    elif labels is not None and gather_loss_positions:
+        # TPU-BERT style masked-position gather (the original BERT TPU code's
+        # max_predictions_per_seq trick): only ~mlm_prob of positions carry a
+        # label, so computing the (B, L, vocab) full-vocab logits — 1.2 GB of
+        # f32 at the 0.9B train shape, plus its log-softmax temps and their
+        # backward traffic — wastes most of the head FLOPs and the step's
+        # HBM writes. Gather K labeled positions PER ROW (top_k along the
+        # length axis, which stays unsharded under DP — a batch-flat gather
+        # would drag the sharded batch axis into a cross-device top_k), run
+        # the head on (B, K, H), and take the CE there. EXACTLY the full
+        # path's loss (same positions, same mean-over-labeled normalization)
+        # whenever every row has <= K labels; overflow drops that row's
+        # latest positions (callers size K with a >5-sigma margin).
+        K = min(int(gather_loss_positions), L)
+        prio = (labels != -100).astype(jnp.int32) * L - jnp.arange(L)[None, :]
+        _, idx = jax.lax.top_k(prio, K)  # (B, K) labeled slots, ascending
+        h_sel = jnp.take_along_axis(decoded, idx[..., None], axis=1)
+        labels_sel = jnp.take_along_axis(labels, idx, axis=1)
+        logits_sel = _lm_head(
+            params["lm_head"], cfg, h_sel,
+            emb_p["word_embeddings"], params["lm_head"]["bias"],
+        )
+        loss = cross_entropy_ignore_index(logits_sel, labels_sel)
+        return DebertaOutput(logits=logits_sel, loss=loss,
+                             last_hidden_state=decoded)
     else:
         logits = _lm_head(
             params["lm_head"], cfg, decoded,
@@ -706,9 +736,6 @@ def deberta_forward(
 
     loss = None
     if labels is not None:
-        if use_video:
-            video_labels = jnp.full(video.shape[:2], -100, dtype=labels.dtype)
-            labels = jnp.concatenate([video_labels, labels], axis=1)
         loss = cross_entropy_ignore_index(logits, labels)
 
     return DebertaOutput(logits=logits, loss=loss, last_hidden_state=decoded)

@@ -279,11 +279,20 @@ def make_mlm_loss_fn(
     pad_token_id: int = 0,
     mlm_probability: float = 0.15,
     remat: bool = False,
+    gather_loss_positions: Optional[int] = None,
 ) -> LossFn:
     """Cross-modal MLM objective: corrupt inside the step, forward, CE loss.
 
     Reference: main.py:46-66 + util/misc.py:14-56, but the 80/10/10
     corruption runs on-device under jit with threaded PRNG keys.
+
+    gather_loss_positions: size of the masked-position gather before the
+    MLM head (TPU-BERT max_predictions_per_seq trick; see deberta_forward).
+    None (default) sizes it automatically from the batch shape with a
+    >5-sigma margin over the binomial masked count, so the loss is exactly
+    the full-head loss (overflow probability < 1e-9 per step). 0 disables
+    (full (B, L, vocab) logits, the reference's shape). Only DeBERTa's
+    forward accepts the kwarg; other forwards get it only when explicit.
     """
     from frozenbilm_tpu.ops.masking import mlm_corrupt
 
@@ -303,12 +312,24 @@ def make_mlm_loss_fn(
             pad_token_id=pad_token_id,
             mlm_probability=mlm_probability,
         )
+        kw = {}
+        if forward_fn.__name__ == "deberta_forward":
+            K = gather_loss_positions
+            if K is None:
+                # per-row capacity: mean + 6 sigma of Binom(T, p) + slack,
+                # rounded up to 8 sublanes (see deberta_forward docstring)
+                t = input_ids.shape[1]
+                mean = t * mlm_probability
+                K = int(mean + 6.0 * (mean * (1 - mlm_probability)) ** 0.5) + 8
+                K = min((K + 7) // 8 * 8, t)
+            if K and K < input_ids.shape[1]:
+                kw["gather_loss_positions"] = K
         out = forward_fn(
             params, cfg, vt,
             input_ids, batch["attention_mask"],
             batch.get("video"), batch.get("video_mask"),
             labels=labels, mlm=True,
-            deterministic=deterministic, rng=fwd_rng, remat=remat,
+            deterministic=deterministic, rng=fwd_rng, remat=remat, **kw,
         )
         return out.loss, {}
 

@@ -320,3 +320,30 @@ def test_prune_checkpoints(tmp_path):
                     "checkpoint_preempt", "ckpt"]
     prune_checkpoints(str(tmp_path), keep=0)  # 0 = keep everything
     assert sorted(p.name for p in tmp_path.iterdir()) == left
+
+
+def test_mlm_gathered_head_loss_equals_full():
+    """Masked-position gather before the MLM head (TPU-BERT
+    max_predictions_per_seq trick, deberta_forward gather_loss_positions):
+    loss AND grads equal the full (B, L, vocab) path exactly while every
+    row's label count fits the per-row capacity."""
+    import numpy as np
+
+    from frozenbilm_tpu.models.deberta import deberta_forward
+    from frozenbilm_tpu.train.trainer import make_mlm_loss_fn
+
+    params = _params()
+    batch = _make_batch()
+    full = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4,
+                            vocab_size=120, gather_loss_positions=0)
+    gathered = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4,
+                                vocab_size=120, gather_loss_positions=12)
+    for seed in range(4):
+        k = jax.random.PRNGKey(seed)
+        lf = float(jax.jit(lambda p: full(p, batch, k)[0])(params))
+        lg = float(jax.jit(lambda p: gathered(p, batch, k)[0])(params))
+        assert abs(lf - lg) < 3e-6, (seed, lf, lg)
+    g1 = jax.jit(jax.grad(lambda p: full(p, batch, jax.random.PRNGKey(7))[0]))(params)
+    g2 = jax.jit(jax.grad(lambda p: gathered(p, batch, jax.random.PRNGKey(7))[0]))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
