@@ -72,10 +72,11 @@ def _make_batch(n=8, t=12, f=4, seed=0):
     }
 
 
-def _run_steps(mesh, n_steps=2, lr=1e-3):
+def _run_steps(mesh, n_steps=2, lr=1e-3, gather=0):
     params = _params()
     tx = make_optimizer(make_schedule(lr, 100), clip_max_norm=0.1)
-    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4, vocab_size=120)
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4, vocab_size=120,
+                               gather_loss_positions=gather)
     trainer = Trainer(loss_fn, tx, mesh=mesh)
     state, frozen = create_train_state(params, VT, tx)
     batch = _make_batch()
@@ -93,6 +94,18 @@ def test_dp_equality_8dev_vs_1dev():
     mesh1 = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
     _, s8, _, _, l8 = _run_steps(mesh8)
     _, s1, _, _, l1 = _run_steps(mesh1)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s8.trainable), jax.tree.leaves(s1.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_equality_with_gathered_head():
+    """The per-row masked-position gather (top_k on the unsharded length
+    axis) must not perturb DP: 8-device sharded steps == single device."""
+    mesh8 = make_mesh(MeshSpec(data=8, model=1))
+    mesh1 = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    _, s8, _, _, l8 = _run_steps(mesh8, gather=8)
+    _, s1, _, _, l1 = _run_steps(mesh1, gather=8)
     np.testing.assert_allclose(l8, l1, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s8.trainable), jax.tree.leaves(s1.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
