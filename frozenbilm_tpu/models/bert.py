@@ -163,6 +163,7 @@ def bert_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    gather_loss_positions: int = 0,
 ) -> BertOutput:
     B, T = input_ids.shape
     if attention_mask is None:
@@ -203,8 +204,25 @@ def bert_forward(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     (hidden, _), _ = jax.lax.scan(step, (x, rngs.next()), params["encoder"]["layers"])
 
+    if labels is not None and use_video:
+        video_labels = jnp.full(video.shape[:2], -100, dtype=labels.dtype)
+        labels = jnp.concatenate([video_labels, labels], axis=1)
+
+    # per-row masked-position gather before the full-vocab head — same
+    # TPU-BERT max_predictions_per_seq trick as deberta_forward (exact while
+    # every row's label count <= K; see that docstring)
+    head_in = hidden
+    if labels is not None and gather_loss_positions and (
+            params.get("answers") is None or mlm):
+        L = hidden.shape[1]
+        K = min(int(gather_loss_positions), L)
+        prio = (labels != -100).astype(jnp.int32) * L - jnp.arange(L)[None, :]
+        _, idx = jax.lax.top_k(prio, K)
+        head_in = jnp.take_along_axis(hidden, idx[..., None], axis=1)
+        labels = jnp.take_along_axis(labels, idx, axis=1)
+
     # MLM head (bert.py:74-107)
-    h = linear(params["lm_head"]["dense"], hidden)
+    h = linear(params["lm_head"]["dense"], head_in)
     h = ACT2FN[cfg.hidden_act](h)
     h = layer_norm(params["lm_head"]["LayerNorm"], h, cfg.layer_norm_eps)
     answers = params.get("answers")
@@ -217,9 +235,6 @@ def bert_forward(
 
     loss = None
     if labels is not None:
-        if use_video:
-            video_labels = jnp.full(video.shape[:2], -100, dtype=labels.dtype)
-            labels = jnp.concatenate([video_labels, labels], axis=1)
         loss = cross_entropy_ignore_index(logits, labels)
 
     return BertOutput(logits=logits, loss=loss, last_hidden_state=hidden)

@@ -313,7 +313,7 @@ def make_mlm_loss_fn(
             mlm_probability=mlm_probability,
         )
         kw = {}
-        if forward_fn.__name__ == "deberta_forward":
+        if forward_fn.__name__ in ("deberta_forward", "bert_forward"):
             K = gather_loss_positions
             if K is None:
                 # per-row capacity: mean + 6 sigma of Binom(T, p) + slack,
