@@ -686,9 +686,18 @@ def bench_train(small: bool):
     adapter_tok = h * h // 8 if vt.ds_factor_attn else 0
     frozen_tok = 8 * h * h + 4 * h * inter + 4 * S * h + 8 * h * cfg.position_buckets
 
+    # the executed head runs on the K gathered label positions per row, not
+    # all S (trainer auto-gather; mirrors make_mlm_loss_fn's K formula) —
+    # count the FLOPs the program actually does, not the reference shape's
+    mean_masked = T * 0.15
+    K_head = int(mean_masked + 6.0 * (mean_masked * 0.85) ** 0.5) + 8
+    K_head = min((K_head + 7) // 8 * 8, T)
+    if K_head >= T:
+        K_head = S  # gather disabled: full head
+
     def flops_for(Bv):
         fwd_frozen = Bv * (S * L_layers * frozen_tok
-                           + 2 * S * h * cfg.vocab_size)  # lm head (frozen)
+                           + 2 * K_head * h * cfg.vocab_size)  # lm head
         fwd_train = Bv * (S * L_layers * adapter_tok
                           + 2 * F * vt.features_dim * h)  # adapters+linear_video
         return 2 * fwd_frozen + 3 * fwd_train
