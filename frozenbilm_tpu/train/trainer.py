@@ -208,12 +208,16 @@ class Trainer:
         contiguously sharded over 'data', every microbatch stays evenly
         spread across devices (no resharding collectives).
 
-        Semantics: this is a MEAN OF PER-MICROBATCH MEANS. For losses
-        normalized per batch by a data-dependent count (the MLM loss divides
-        by the number of masked tokens), microbatches with fewer masked
-        tokens get their tokens weighted up relative to the exact full-batch
-        gradient — the equivalence to one big batch is approximate, not
-        bitwise. Per-row losses (videoqa soft-label CE) are exact."""
+        Semantics: if the loss_fn reports a "loss_weight" metric (its
+        normalization denominator, e.g. the MLM masked-token count), the
+        accumulated loss/grads are the WEIGHTED mean — sum_i(w_i * g_i) /
+        sum_i(w_i) — which equals the exact full-batch gradient of a
+        sum/count loss, because d/dθ [Σ_i s_i / Σ_i n_i] = Σ_i n_i g_i / Σ_i
+        n_i where g_i = d(s_i/n_i)/dθ. Without "loss_weight" this is a mean
+        of per-microbatch means, exact for per-row losses (videoqa
+        soft-label CE) and approximate for count-normalized ones. Other
+        metrics are always plain means; "loss_weight" itself is reported as
+        the full-batch sum."""
         accum = self.grad_accum
 
         n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
@@ -242,18 +246,35 @@ class Trainer:
         shapes = jax.eval_shape(grad_fn, trainable,
                                 jax.tree.map(lambda x: x[0], micro), step_rng)
         zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        (_, metric_shapes), _ = shapes
+        weighted = (isinstance(metric_shapes, dict)
+                    and "loss_weight" in metric_shapes)
 
         def body(carry, xs):
             (l_acc, m_acc), g_acc = carry
             mb, i = xs
             (loss, metrics), grads = grad_fn(
                 trainable, mb, jax.random.fold_in(step_rng, i))
+            if weighted:
+                w = metrics["loss_weight"].astype(loss.dtype)
+                loss = loss * w
+                grads = jax.tree.map(lambda g: g * w.astype(g.dtype), grads)
             carry = ((l_acc + loss, jax.tree.map(jnp.add, m_acc, metrics)),
                      jax.tree.map(jnp.add, g_acc, grads))
             return carry, None
 
         acc, _ = jax.lax.scan(body, zeros, (micro, jnp.arange(accum)))
-        return jax.tree.map(lambda x: x / accum, acc)
+        if not weighted:
+            return jax.tree.map(lambda x: x / accum, acc)
+        (loss, metrics), grads = acc
+        # max(1) guards the all-microbatches-empty case (each empty
+        # microbatch contributed weight 0, so the numerators are 0 too)
+        total = jnp.maximum(metrics["loss_weight"], 1).astype(loss.dtype)
+        loss = loss / total
+        grads = jax.tree.map(lambda g: g / total.astype(g.dtype), grads)
+        metrics = {k: (v if k == "loss_weight" else v / accum)
+                   for k, v in metrics.items()}
+        return (loss, metrics), grads
 
     def _eval_step_impl(self, state: TrainState, frozen, batch):
         params = merge_params(state.trainable, frozen)
@@ -294,7 +315,7 @@ def make_mlm_loss_fn(
     (full (B, L, vocab) logits, the reference's shape). Only DeBERTa's
     forward accepts the kwarg; other forwards get it only when explicit.
     """
-    from frozenbilm_tpu.ops.masking import mlm_corrupt
+    from frozenbilm_tpu.ops.masking import IGNORE_INDEX, mlm_corrupt
 
     def loss_fn(params, batch, rng):
         deterministic = rng is None
@@ -331,6 +352,10 @@ def make_mlm_loss_fn(
             labels=labels, mlm=True,
             deterministic=deterministic, rng=fwd_rng, remat=remat, **kw,
         )
-        return out.loss, {}
+        # the CE denominator (masked-token count): lets Trainer._accumulate
+        # weight microbatch grads so grad_accum matches the full-batch
+        # gradient exactly despite the count-normalized loss
+        weight = jnp.sum(labels != IGNORE_INDEX).astype(jnp.float32)
+        return out.loss, {"loss_weight": weight}
 
     return loss_fn

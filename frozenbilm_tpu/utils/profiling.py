@@ -50,6 +50,63 @@ def device_memory_stats() -> Dict[str, float]:
     return out
 
 
+def device_op_times(tracedir: str) -> Dict[str, float]:
+    """Per-op device self-time (seconds) from a trace directory.
+
+    Parses the exported Chrome-trace files under `tracedir`, keeps only
+    complete events on DEVICE processes (process_name metadata containing
+    '/device:' or 'TPU'), and sums duration by op name. Host-side python /
+    ThunkExecutor events would otherwise dominate the totals and poison any
+    class breakdown built on them.
+
+    Falls back to a name-based host filter when no device process exists in
+    the trace (the CPU backend emits only host threads) — good enough for
+    smoke runs, exact on TPU.
+    """
+    import glob
+    import gzip
+    import json
+
+    events = []
+    pid_names: Dict[int, str] = {}
+    for f in glob.glob(tracedir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+            elif ev.get("ph") == "X" and "dur" in ev:
+                events.append(ev)
+
+    device_pids = {p for p, n in pid_names.items()
+                   if "/device:" in n or "TPU" in n.upper()}
+    tot: Dict[str, float] = {}
+    if device_pids:
+        keep = [ev for ev in events if ev.get("pid") in device_pids]
+    else:
+        host_markers = (".py", "np.asarray", "thunkexecutor", "$", "::",
+                        "pjitfunction", "parsearguments", "handle inputs")
+        keep = [ev for ev in events
+                if not any(m in ev.get("name", "").lower() or m in ev.get("name", "")
+                           for m in host_markers)]
+    for ev in keep:
+        name = ev.get("name", "")
+        tot[name] = tot.get(name, 0.0) + ev["dur"] / 1e6
+    return tot
+
+
+def matmul_class_split(op_times: Dict[str, float]) -> Dict[str, float]:
+    """Bucket per-op device times into {'matmul': s, 'other': s}."""
+    classes = {"matmul": 0.0, "other": 0.0}
+    for n, s in op_times.items():
+        low = n.lower()
+        if any(k in low for k in ("dot", "convolution", "matmul")):
+            classes["matmul"] += s
+        else:
+            classes["other"] += s
+    return classes
+
+
 class StepProfiler:
     """Per-step timing + an optional trace window.
 

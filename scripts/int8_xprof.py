@@ -13,8 +13,6 @@ int8_pallas_probe_r3.json (hand-written kernels also below XLA's raw int8).
 Run on the real chip: bash scripts/tpu_run.sh scripts/int8_xprof.py
 """
 
-import glob
-import gzip
 import json
 import os
 import sys
@@ -34,24 +32,12 @@ def _trace_one(tag, fwd, *args):
     float(fwd(*args))
     jax.profiler.stop_trace()
 
-    tot = {}
-    for f in glob.glob(tdir + "/**/*.trace.json.gz", recursive=True):
-        with gzip.open(f, "rt") as fh:
-            data = json.load(fh)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
-                name = ev.get("name", "")
-                tot.setdefault(name, 0.0)
-                tot[name] += ev["dur"] / 1e6
+    from frozenbilm_tpu.utils.profiling import device_op_times, matmul_class_split
+
+    tot = device_op_times(tdir)
     top = sorted(tot.items(), key=lambda kv: -kv[1])[:40]
     out["top_ops"] = [[n[:120], round(s * 1e3, 3)] for n, s in top]  # ms
-    classes = {"matmul": 0.0, "other": 0.0}
-    for n, s in tot.items():
-        low = n.lower()
-        if any(k in low for k in ("dot", "convolution", "matmul")):
-            classes["matmul"] += s
-        else:
-            classes["other"] += s
+    classes = matmul_class_split(tot)
     out["class_ms"] = {k: round(v * 1e3, 3) for k, v in classes.items()}
     print(f"# {tag}: {out['class_ms']}", flush=True)
     for n, s in top[:12]:
@@ -102,6 +88,7 @@ def main():
     sparams = bench._with_static_scales(qparams)
 
     results = {
+        "device_kind": jax.devices()[0].device_kind,
         "shape": {"B": B, "T": T, "F": F},
         "bf16": _trace_one("bf16", fwd, params, ids, am, video, vm),
         "int8_dyn": _trace_one("int8_dyn", fwd, qparams, ids, am, video, vm),

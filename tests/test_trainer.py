@@ -228,6 +228,66 @@ def test_grad_accum_matches_full_batch():
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_grad_accum_weighted_matches_full_batch_for_mlm_style_loss():
+    """A loss normalized by a data-dependent count (MLM's masked-token CE)
+    accumulates EXACTLY when the loss_fn reports the count as the
+    'loss_weight' metric: Trainer._accumulate then computes
+    sum_i(n_i * g_i) / sum_i(n_i) == the full-batch gradient. Rows carry
+    deliberately uneven label counts per microbatch so the unweighted
+    mean-of-means provably differs — proving the weighting is load-bearing."""
+    from frozenbilm_tpu.ops.masking import IGNORE_INDEX
+
+    batch = _make_batch(n=8)
+    # row r keeps (r % 4) + 1 labeled positions -> microbatch 0 (even rows)
+    # and microbatch 1 (odd rows) see different totals under accum=2
+    n, t = batch["input_ids"].shape
+    keep = np.zeros((n, t), bool)
+    for r in range(n):
+        keep[r, : (r % 4) + 1] = True
+    labels = jnp.where(jnp.asarray(keep), batch["input_ids"], IGNORE_INDEX)
+    batch = dict(batch, labels=labels)
+
+    def make_loss(report_weight):
+        def det_loss_fn(params, b, rng):
+            del rng
+            out = deberta_forward(
+                params, CFG, VT, b["input_ids"], b["attention_mask"],
+                b["video"], b["video_mask"],
+                labels=b["labels"], mlm=True, deterministic=True)
+            metrics = {}
+            if report_weight:
+                metrics["loss_weight"] = jnp.sum(
+                    b["labels"] != IGNORE_INDEX).astype(jnp.float32)
+            return out.loss, metrics
+        return det_loss_fn
+
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1)
+
+    def run(accum, report_weight):
+        trainer = Trainer(make_loss(report_weight), tx, grad_accum=accum)
+        state, frozen = create_train_state(params, VT, tx)
+        return trainer.train_step(state, frozen, batch, jax.random.PRNGKey(7))
+
+    full, m_full = run(1, True)
+    acc_w, m_w = run(2, True)
+    acc_uw, _ = run(2, False)
+
+    # weighted accumulation reproduces the full-batch loss, weight and update
+    np.testing.assert_allclose(float(m_w["loss"]), float(m_full["loss"]),
+                               rtol=1e-5)
+    assert float(m_w["loss_weight"]) == float(m_full["loss_weight"]) == np.sum(keep)
+    for a, b in zip(jax.tree.leaves(full.trainable),
+                    jax.tree.leaves(acc_w.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+    # ...and the unweighted mean-of-means does NOT (uneven counts)
+    deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+              for a, b in zip(jax.tree.leaves(full.trainable),
+                              jax.tree.leaves(acc_uw.trainable))]
+    assert max(deltas) > 1e-5
+
+
 def test_grad_accum_on_mesh_and_validation():
     """Accumulation under a sharded batch (microbatch split must not break
     DP), and the divisibility / >=1 guards."""
