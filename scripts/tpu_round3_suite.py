@@ -23,6 +23,28 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
 
 
+def _stage_done(path, tpu_stamp=False):
+    """True if a previous attempt already produced this artifact.
+
+    tpu_stamp=True additionally requires a TPU device_kind stamp (or the
+    absence of the CPU-smoke 'small' marker) so stale CPU smoke files under
+    the same path don't mask the real on-chip run."""
+    if not os.path.exists(path):
+        return False
+    if not tpu_stamp:
+        return True
+    try:
+        with open(path) as f:
+            txt = f.read()
+        if '"small": true' in txt:
+            return False
+        if '"device_kind"' in txt:
+            return "TPU" in txt.upper().split('"device_kind"', 1)[1][:40]
+        return False
+    except OSError:
+        return False
+
+
 def main():
     import jax
 
@@ -50,8 +72,26 @@ def main():
         sys.exit(17)
     print(f"# device: {kind}", flush=True)
 
-    t0 = time.time()
-    try:
+    # Each stage: skip if a previous attempt's artifact exists (tpu_run.sh
+    # relaunches this script from scratch on non-zero exit, so completed
+    # stages must be idempotent), record failures, and exit non-zero if any
+    # stage is still missing — a mid-run chip drop then retries instead of
+    # silently "completing" without the artifact.
+    failed = []
+
+    def stage(name, fn, out_path, tpu_stamp=False):
+        if _stage_done(out_path, tpu_stamp=tpu_stamp):
+            print(f"# {name}: artifact exists, skipping", flush=True)
+            return
+        t0 = time.time()
+        try:
+            fn()
+            print(f"# {name} done in {time.time() - t0:.0f}s", flush=True)
+        except Exception:
+            failed.append(name)
+            print(f"# {name} FAILED:\n" + traceback.format_exc(), flush=True)
+
+    def run_bench():
         import bench
 
         buf = io.StringIO()
@@ -61,33 +101,22 @@ def main():
                 if ln.startswith("{")][-1]
         with open("/tmp/bench_r3_post.json", "w") as f:
             f.write(line + "\n")
-        print(f"# bench done in {time.time() - t0:.0f}s", flush=True)
         print(line, flush=True)
-    except Exception:
-        print("# bench FAILED:\n" + traceback.format_exc(), flush=True)
 
-    t0 = time.time()
-    try:
+    def run_int8_xprof():
         import int8_xprof
 
         int8_xprof.main()
-        print(f"# int8 xprof done in {time.time() - t0:.0f}s", flush=True)
-    except Exception:
-        print("# int8_xprof FAILED:\n" + traceback.format_exc(), flush=True)
 
-    t0 = time.time()
-    try:
+    def run_serve_load():
         import serve_load
 
         serve_load.main()
-        print(f"# serve load done in {time.time() - t0:.0f}s", flush=True)
-    except Exception:
-        print("# serve_load FAILED:\n" + traceback.format_exc(), flush=True)
 
-    # rel-select A/B at the long lengths the first r3 sweep missed (L=522
-    # is beyond the 512 absolute-position cap; T=246/502 -> L=256/512)
-    t0 = time.time()
-    try:
+    def run_rel_ab_long():
+        # rel-select A/B at the long lengths the first r3 sweep missed
+        # (L=522 is beyond the 512 absolute-position cap; T=246/502 ->
+        # L=256/512)
         import rel_select_ab
 
         rows = []
@@ -100,34 +129,34 @@ def main():
                                  "error": repr(e)[:200]})
         with open("/tmp/rel_ab_long_r3.json", "w") as f:
             json.dump(rows, f, indent=1)
-        print(f"# rel-select long A/B done in {time.time() - t0:.0f}s",
-              flush=True)
-    except Exception:
-        print("# rel_select_ab FAILED:\n" + traceback.format_exc(),
-              flush=True)
 
-    # train-step xprof: explain the ~25% training MFU with a class breakdown
-    t0 = time.time()
-    try:
+    def run_train_xprof():
+        # explain the ~25% training MFU with a class breakdown
         import train_xprof
 
         train_xprof.main()
-        print(f"# train xprof done in {time.time() - t0:.0f}s", flush=True)
-    except Exception:
-        print("# train_xprof FAILED:\n" + traceback.format_exc(), flush=True)
 
-    # length-bucket vs longest-pad on the MC shape (VERDICT r2 next #5's
-    # on-chip proof): same mixed-length row population both ways
-    t0 = time.time()
-    try:
+    def run_mc_bucket_ab():
+        # length-bucket vs longest-pad on the MC shape (VERDICT r2 next
+        # #5's on-chip proof): same mixed-length row population both ways
         import mc_bucket_ab
 
         os.environ["FROZENBILM_AB_OUT"] = "/tmp/mc_bucket_ab.json"
         mc_bucket_ab.main()
-        print(f"# mc bucket A/B done in {time.time() - t0:.0f}s", flush=True)
-    except Exception:
-        print("# mc_bucket_ab FAILED:\n" + traceback.format_exc(), flush=True)
 
+    stage("bench", run_bench, "/tmp/bench_r3_post.json")
+    stage("int8_xprof", run_int8_xprof, "/tmp/int8_xprof_r3.json",
+          tpu_stamp=True)
+    stage("serve_load", run_serve_load, "/tmp/serve_load_r3.json",
+          tpu_stamp=True)
+    stage("rel_ab_long", run_rel_ab_long, "/tmp/rel_ab_long_r3.json")
+    stage("train_xprof", run_train_xprof, "/tmp/train_xprof_r3.json",
+          tpu_stamp=True)
+    stage("mc_bucket_ab", run_mc_bucket_ab, "/tmp/mc_bucket_ab.json")
+
+    if failed:
+        print(f"# suite INCOMPLETE, failed stages: {failed}", flush=True)
+        sys.exit(18)
     print("# suite complete", flush=True)
 
 
