@@ -465,12 +465,18 @@ def _get_rel_embedding(enc_params, cfg):
 
 def _encoder_forward(
     enc_params, cfg, vt, hidden, attention_mask, *, deterministic, rng,
-    remat: bool = False,
+    remat: bool = False, act_constraint=None,
 ):
     """Run all layers; returns (final_hidden, input_to_last_layer).
 
     Layer 0 (and its conv branch) runs unrolled; layers 1..N-1 run under
     lax.scan over stacked params for fast compiles.
+
+    act_constraint: optional callable applied to every layer's (B, L, H)
+    output (and the encoder input) — the sequence-parallel hook:
+    parallel/sp.py passes a with_sharding_constraint pinning activations
+    to P(data, model) so layernorm/FFN/head memory and FLOPs shard over
+    the sequence axis while XLA all-gathers K/V only inside attention.
     """
     input_mask = attention_mask
     mask_outer = (attention_mask[:, :, None] * attention_mask[:, None, :]).astype(jnp.int32)
@@ -569,6 +575,8 @@ def _encoder_forward(
                 deterministic=deterministic, rngs=RngStream(conv_key),
             )
             out = jnp.where(idx == 0, conv_out, out)
+        if act_constraint is not None:
+            out = act_constraint(out)
         return (out, key), h  # ys collect each layer's *input*
 
     if remat:
@@ -577,6 +585,8 @@ def _encoder_forward(
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     scan_key = rngs0.next()
+    if act_constraint is not None:
+        hidden = act_constraint(hidden)
     (final, _), layer_inputs = jax.lax.scan(
         step, (hidden, scan_key), (layers, jnp.arange(n_layers)))
     # input to the last layer == last collected carry (encoder_layers[-2])
@@ -586,7 +596,7 @@ def _encoder_forward(
 
 def _emd_context_layer(
     enc_params, cfg, vt, hidden_minus2, pos_embeddings, mask_outer, rel_emb, rel_idx,
-    *, deterministic, rng,
+    *, deterministic, rng, act_constraint=None,
 ):
     """Enhanced Mask Decoder: rerun the last layer twice, queries carry
     absolute position information (deberta.py:1382-1412)."""
@@ -594,6 +604,8 @@ def _emd_context_layer(
     query_states = pos_embeddings[None].astype(hidden_minus2.dtype) + hidden_minus2
     rngs = RngStream(rng)
     for _ in range(2):
+        if act_constraint is not None:
+            query_states = act_constraint(query_states)
         query_states = _layer_forward(
             last_layer, cfg, vt, hidden_minus2, mask_outer, rel_emb, rel_idx,
             query_states=query_states, deterministic=deterministic, rngs=rngs,
@@ -639,12 +651,18 @@ def deberta_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     gather_loss_positions: int = 0,
+    act_constraint=None,
 ) -> DebertaOutput:
     """Full forward pass (deberta.py:1414-1501).
 
     In answer mode (params has 'answers' and mlm=False) logits are scored
     against the answer-vocabulary embedding module; otherwise against the
     word-embedding table (full-vocab MLM).
+
+    act_constraint: optional callable applied to (B, L, H) activations at
+    every layer boundary — sequence parallelism when it pins the L axis to
+    a mesh axis (parallel/sp.py). Pure identity semantics: outputs are
+    bitwise what the unconstrained forward computes.
     """
     B, T = input_ids.shape
     if attention_mask is None:
@@ -684,6 +702,7 @@ def deberta_forward(
     final, hidden_minus2, mask_outer, rel_emb, rel_idx = _encoder_forward(
         params["encoder"], cfg, vt, x, attention_mask,
         deterministic=deterministic, rng=rngs.next(), remat=remat,
+        act_constraint=act_constraint,
     )
 
     # --- Enhanced Mask Decoder (only when no absolute positions in input) ---
@@ -691,6 +710,7 @@ def deberta_forward(
         decoded = _emd_context_layer(
             params["encoder"], cfg, vt, hidden_minus2, pos_embeddings, mask_outer,
             rel_emb, rel_idx, deterministic=deterministic, rng=rngs.next(),
+            act_constraint=act_constraint,
         )
     else:
         decoded = final

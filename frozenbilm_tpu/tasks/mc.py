@@ -59,12 +59,24 @@ from frozenbilm_tpu.utils.metrics import MetricLogger
 MC_TYPE_MAPS = {"how2qa": None, "tvqa": None}
 
 
-def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
+def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int,
+                  act_constraint=None):
     """Jitted candidate-batched steps. Inputs are batch-major:
     input_ids (B, mc, L) flattened to (B*mc, L); video repeated per
-    candidate. The leading B axis is the mesh 'data' sharding axis."""
+    candidate. The leading B axis is the mesh 'data' sharding axis.
+
+    act_constraint: sequence-parallel activation constraint
+    (parallel/sp.sequence_constraint) — worthwhile at this driver's L=512
+    reference shape (README.md:211), where per-chip activation HBM binds
+    before weights do. DeBERTa-family forwards only."""
     cfg, vt = bundle.cfg, bundle.vt
     delay = vt.max_feats if vt.features_dim else 0
+    fwd_kw = {}
+    if act_constraint is not None:
+        if bundle.forward.__name__ != "deberta_forward":
+            raise ValueError("--sequence_parallel requires the DeBERTa "
+                             f"family, got {bundle.forward.__name__}")
+        fwd_kw["act_constraint"] = act_constraint
 
     def yes_prob(params, input_ids, attention_mask, video, video_mask,
                  *, deterministic=True, rng=None):
@@ -74,7 +86,8 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int):
         video_t = jnp.repeat(video, mc, axis=0)
         vmask_t = jnp.repeat(video_mask, mc, axis=0)
         out = bundle.forward(params, cfg, vt, flat_ids, flat_am, video_t, vmask_t,
-                             mlm=False, deterministic=deterministic, rng=rng)
+                             mlm=False, deterministic=deterministic, rng=rng,
+                             **fwd_kw)
         if bundle.answer_logits is not None:
             hidden = out.last_hidden_state[:, delay: delay + L]
             pos = jnp.argmax((flat_ids == mask_token_id).astype(jnp.int32), axis=1)
@@ -142,7 +155,17 @@ def _device_batch(batch_dict, tokenizer, args):
 
 def evaluate(params, bundle, tokenizer, data_loader, dataset_name, args,
              split="test", type_map=None, mesh=None):
-    _, eval_step = make_mc_steps(bundle, tokenizer.mask_token_id, data_loader.dataset.mc)
+    act_constraint = None
+    if getattr(args, "sequence_parallel", False):
+        if mesh is None or mesh.shape.get("model", 1) < 2:
+            raise ValueError("--sequence_parallel needs a mesh with "
+                             "model axis >= 2 (--mesh_model)")
+        from frozenbilm_tpu.parallel.sp import sequence_constraint
+
+        act_constraint = sequence_constraint(mesh)
+    _, eval_step = make_mc_steps(bundle, tokenizer.mask_token_id,
+                                 data_loader.dataset.mc,
+                                 act_constraint=act_constraint)
     if mesh is not None:
         params = replicate(mesh, params)
     metric_logger = MetricLogger()
