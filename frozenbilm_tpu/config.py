@@ -387,11 +387,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                              "data axis (FSDP/ZeRO-3; XLA all-gathers per "
                              "layer) instead of replicated")
     parser.add_argument("--sequence_parallel", action="store_true",
-                        help="shard eval activations' token axis over the "
-                             "model mesh axis (sequence parallelism; needs "
-                             "--mesh_model >= 2; DeBERTa mc eval) — for the "
-                             "L=512 subtitle shape where activation HBM "
-                             "binds before weights")
+                        help="shard activations' token axis over the model "
+                             "mesh axis (sequence parallelism; needs "
+                             "--mesh_model >= 2; DeBERTa/BERT mc eval + MLM "
+                             "pretrain) — for long-L shapes (mc's 512) "
+                             "where activation HBM binds before weights")
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")

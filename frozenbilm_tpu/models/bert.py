@@ -164,6 +164,7 @@ def bert_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     gather_loss_positions: int = 0,
+    act_constraint=None,
 ) -> BertOutput:
     B, T = input_ids.shape
     if attention_mask is None:
@@ -197,11 +198,16 @@ def bert_forward(
         else:
             sub = None
         out = _layer(lp, cfg, h, attention_mask, deterministic=deterministic, rngs=RngStream(sub))
+        if act_constraint is not None:
+            # sequence-parallel hook (parallel/sp.py) — see deberta_forward
+            out = act_constraint(out)
         return (out, key), None
 
     if remat:
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if act_constraint is not None:
+        x = act_constraint(x)
     (hidden, _), _ = jax.lax.scan(step, (x, rngs.next()), params["encoder"]["layers"])
 
     if labels is not None and use_video:

@@ -68,13 +68,13 @@ def make_mc_steps(bundle: ModelBundle, mask_token_id: int, n_cand: int,
     act_constraint: sequence-parallel activation constraint
     (parallel/sp.sequence_constraint) — worthwhile at this driver's L=512
     reference shape (README.md:211), where per-chip activation HBM binds
-    before weights do. DeBERTa-family forwards only."""
+    before weights do. Encoder (DeBERTa/BERT) forwards only."""
     cfg, vt = bundle.cfg, bundle.vt
     delay = vt.max_feats if vt.features_dim else 0
     fwd_kw = {}
     if act_constraint is not None:
-        if bundle.forward.__name__ != "deberta_forward":
-            raise ValueError("--sequence_parallel requires the DeBERTa "
+        if bundle.forward.__name__ not in ("deberta_forward", "bert_forward"):
+            raise ValueError("--sequence_parallel requires the DeBERTa/BERT "
                              f"family, got {bundle.forward.__name__}")
         fwd_kw["act_constraint"] = act_constraint
 

@@ -186,6 +186,14 @@ def main(args):
         beta1=args.beta1, beta2=args.beta2,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
     )
+    act_constraint = None
+    if getattr(args, "sequence_parallel", False):
+        if mesh is None or mesh.shape.get("model", 1) < 2:
+            raise ValueError("--sequence_parallel needs a mesh with "
+                             "model axis >= 2 (--mesh_model)")
+        from frozenbilm_tpu.parallel.sp import sequence_constraint
+
+        act_constraint = sequence_constraint(mesh)
     loss_fn = make_mlm_loss_fn(
         bundle.forward, bundle.cfg, bundle.vt,
         mask_token_id=tokenizer.mask_token_id,
@@ -193,6 +201,7 @@ def main(args):
         pad_token_id=tokenizer.pad_token_id or 0,
         mlm_probability=args.mlm_prob,
         remat=args.remat,
+        act_constraint=act_constraint,
     )
     trainer, state, frozen = make_trainer_and_state(
         loss_fn, tx, params, bundle.vt, mesh,

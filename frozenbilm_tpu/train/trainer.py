@@ -301,11 +301,16 @@ def make_mlm_loss_fn(
     mlm_probability: float = 0.15,
     remat: bool = False,
     gather_loss_positions: Optional[int] = None,
+    act_constraint=None,
 ) -> LossFn:
     """Cross-modal MLM objective: corrupt inside the step, forward, CE loss.
 
     Reference: main.py:46-66 + util/misc.py:14-56, but the 80/10/10
     corruption runs on-device under jit with threaded PRNG keys.
+
+    act_constraint: sequence-parallel activation constraint
+    (parallel/sp.sequence_constraint), threaded into encoder forwards —
+    shards training activations' token axis over the model mesh axis.
 
     gather_loss_positions: size of the masked-position gather before the
     MLM head (TPU-BERT max_predictions_per_seq trick; see deberta_forward).
@@ -335,6 +340,8 @@ def make_mlm_loss_fn(
         )
         kw = {}
         if forward_fn.__name__ in ("deberta_forward", "bert_forward"):
+            if act_constraint is not None:
+                kw["act_constraint"] = act_constraint
             K = gather_loss_positions
             if K is None:
                 # per-row capacity: mean + 6 sigma of Binom(T, p) + slack,

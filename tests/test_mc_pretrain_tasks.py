@@ -136,6 +136,28 @@ def test_pretrain_train_and_eval(env, tmp_path):
     assert os.path.exists(save / "log.txt")
 
 
+def test_pretrain_sequence_parallel(env, tmp_path):
+    """--sequence_parallel: MLM pretrain with the token axis sharded over a
+    2-way model axis (BERT family), end-to-end through the CLI."""
+    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.pretrain import main
+
+    root, model_dir, _, webvid, feat_dir = env
+    save = tmp_path / "pt_sp"
+    args = get_args_parser().parse_args(_common(model_dir) + [
+        "--combine_datasets", "webvid", "--combine_datasets_val", "webvid",
+        "--webvid_train_csv_path", str(webvid / "train_captions.csv"),
+        "--webvid_val_csv_path", str(webvid / "val_captions.csv"),
+        "--webvid_features_path", str(feat_dir),
+        "--epochs", "1", "--lr", "1e-3", "--save_dir", str(save),
+        "--batch_size", "8", "--batch_size_val", "8",
+        "--mesh_model", "2", "--sequence_parallel",
+    ])
+    log = main(args)
+    assert np.isfinite(log[0]["train_loss"])
+    assert "val_loss" in log[0]
+
+
 def test_mc_train_uses_dropout(env):
     """MC fine-tuning must train under dropout like the reference (mc.py:35
     model.train()): the loss_fn threads the step rng into the forward, so
