@@ -659,8 +659,12 @@ def bench_train(small: bool):
     else:
         cfg = DebertaV2Config()  # deberta-v2-xlarge (0.9B)
         B, T, F, steps, feat_dim = 32, 64, 10, 6, 768
-        # base_b64 doubles the batch to locate the throughput knee
+        # base_b64 doubles the batch to locate the throughput knee;
+        # base_rbg swaps the per-step random BITS (dropout masks over
+        # (B, H, L, L) x 24 layers + MLM corruption draws) from threefry
+        # VPU work onto the TPU hardware RNG (--rng_impl rbg)
         variants = (("base", False, 1), ("base_b64", False, 1),
+                    ("base_rbg", False, 1),
                     ("remat", True, 1), ("grad_accum4", False, 4))
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
@@ -725,7 +729,9 @@ def bench_train(small: bool):
         try:
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
-            key = jax.random.PRNGKey(1)
+            from frozenbilm_tpu.train.optim import train_key
+
+            key = train_key(1, "rbg" if name == "base_rbg" else "threefry")
             # static peak-HBM: the axon tunnel reports no runtime
             # memory_stats, so ask XLA's memory analysis of the compiled
             # step instead (argument + temp + output HBM). Must run BEFORE

@@ -392,6 +392,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                              "--mesh_model >= 2; DeBERTa/BERT mc eval + MLM "
                              "pretrain) — for long-L shapes (mc's 512) "
                              "where activation HBM binds before weights")
+    parser.add_argument("--rng_impl", default="threefry",
+                        choices=["threefry", "rbg", "unsafe_rbg"],
+                        help="PRNG for train-step randomness (dropout / MLM "
+                             "corruption): rbg generates the random bits on "
+                             "the TPU hardware RNG instead of threefry VPU "
+                             "work (train/optim.train_key)")
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")

@@ -50,7 +50,7 @@ from frozenbilm_tpu.parallel.mesh import (
     shard_batch,
 )
 from frozenbilm_tpu.tasks.videoqa import mask_logits
-from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule, train_key
 from frozenbilm_tpu.train.partition import merge_params
 from frozenbilm_tpu.train.trainer import make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, load_params, save_params
@@ -234,7 +234,9 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
     for db in metric_logger.log_every(it, args.print_freq,
                                       f"Epoch: [{epoch}]",
                                       total=len(data_loader)):
-        state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
+        state, metrics = trainer.train_step(
+            state, frozen, db,
+            train_key(args.seed, getattr(args, "rng_impl", "threefry")))
         loss = float(metrics["loss"])
         if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)

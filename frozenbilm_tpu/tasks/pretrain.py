@@ -40,7 +40,7 @@ from frozenbilm_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
-from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule, train_key
 from frozenbilm_tpu.train.partition import count_params, merge_params
 from frozenbilm_tpu.train.trainer import make_mlm_loss_fn, make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
@@ -70,7 +70,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
 
     metric_logger = MetricLogger()
     nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
-    rng = jax.random.PRNGKey(args.seed)
+    rng = train_key(args.seed, getattr(args, "rng_impl", "threefry"))
     # tokenize + device_put run one batch ahead in a background thread, so
     # the H2D transfer overlaps this step's blocking float(loss) fetch
     from frozenbilm_tpu.data.loader import device_prefetch

@@ -34,7 +34,7 @@ from frozenbilm_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
-from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule, train_key
 from frozenbilm_tpu.train.partition import count_params
 from frozenbilm_tpu.train.trainer import make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint, save_params
@@ -169,7 +169,9 @@ def main(args):
             lambda bd: _device_batch(bd, tokenizer, args, mesh))
         for db in ml.log_every(it, args.print_freq, f"Epoch: [{epoch}]",
                                total=len(loader_train)):
-            state, metrics = trainer.train_step(state, frozen, db, jax.random.PRNGKey(args.seed))
+            state, metrics = trainer.train_step(
+                state, frozen, db,
+                train_key(args.seed, getattr(args, "rng_impl", "threefry")))
             loss = float(metrics["loss"])
             if not nf_policy.step(loss, float(metrics["grad_norm"])):
                 ml.update(loss=loss)

@@ -46,7 +46,7 @@ from frozenbilm_tpu.parallel.mesh import (
     is_main_process,
     loader_shard_kwargs,
 )
-from frozenbilm_tpu.train.optim import make_optimizer, make_schedule
+from frozenbilm_tpu.train.optim import make_optimizer, make_schedule, train_key
 from frozenbilm_tpu.train.partition import count_params, merge_params, partition_params
 from frozenbilm_tpu.train.trainer import TrainState, make_trainer_and_state
 from frozenbilm_tpu.utils.checkpoint import (ckpt_meta, load_any_checkpoint,
@@ -470,7 +470,7 @@ def main(args):
                     print(f"resumed optimizer; start_epoch={args.start_epoch}")
             if is_main_process():
                 print("number of params:", count_params(state.trainable))
-            rng = jax.random.PRNGKey(args.seed)
+            rng = train_key(args.seed, getattr(args, "rng_impl", "threefry"))
             best_acc, best_epoch = 0.0, args.start_epoch
             from frozenbilm_tpu.train.preemption import (
                 PreemptionGuard,

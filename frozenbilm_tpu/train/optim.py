@@ -11,6 +11,31 @@ from __future__ import annotations
 import optax
 
 
+def train_key(seed: int, impl: str = "threefry"):
+    """PRNG key for the train-step randomness stream (--rng_impl).
+
+    'threefry' (default) is jax's counter-based PRNG: identical streams on
+    every backend, but the random BITS for the big per-step masks — dropout
+    over (B, H, L, L) attention probs x 24 layers, the 80/10/10 MLM
+    corruption draws — are pure VPU work. 'rbg' keeps threefry split/fold_in
+    semantics and generates the bits on the TPU hardware RNG instead;
+    'unsafe_rbg' additionally replaces split/fold_in with RBG (fastest,
+    weaker stream-independence guarantees). Dropout/corruption only need
+    statistical quality, not reproducibility across impls, so 'rbg' is safe
+    for training throughput; checkpoints/metrics never store keys.
+    """
+    import jax
+
+    if impl == "threefry":
+        return jax.random.PRNGKey(seed)
+    if impl not in ("rbg", "unsafe_rbg"):
+        raise ValueError(f"unknown --rng_impl {impl!r}; "
+                         "choose threefry/rbg/unsafe_rbg")
+    # typed key: a raw uint32 array would lose the impl tag and get
+    # re-wrapped as threefry by the first fold_in/split downstream
+    return jax.random.key(seed, impl=impl)
+
+
 def make_schedule(
     base_lr: float,
     num_training_steps: int,

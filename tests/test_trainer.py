@@ -288,6 +288,31 @@ def test_grad_accum_weighted_matches_full_batch_for_mlm_style_loss():
     assert max(deltas) > 1e-5
 
 
+def test_rng_impls_through_train_step():
+    """--rng_impl: threefry/rbg/unsafe_rbg keys all drive the train step
+    (incl. the grad-accum scan's fold_in) to a finite loss; typed keys keep
+    their impl through fold_in/split (a raw uint32 key would silently
+    rewrap as threefry)."""
+    import pytest
+
+    from frozenbilm_tpu.train.optim import train_key
+
+    params = _params()
+    tx = make_optimizer(make_schedule(1e-3, 100), clip_max_norm=0.1)
+    loss_fn = make_mlm_loss_fn(deberta_forward, CFG, VT, mask_token_id=4,
+                               vocab_size=120)
+    batch = _make_batch()
+    for impl in ("threefry", "rbg", "unsafe_rbg"):
+        trainer = Trainer(loss_fn, tx, grad_accum=2)
+        state, frozen = create_train_state(params, VT, tx)
+        state, m = trainer.train_step(state, frozen, batch,
+                                      train_key(7, impl))
+        assert np.isfinite(float(m["loss"])), impl
+        assert float(m["loss_weight"]) > 0
+    with pytest.raises(ValueError, match="rng_impl"):
+        train_key(0, "philox")
+
+
 def test_grad_accum_on_mesh_and_validation():
     """Accumulation under a sharded batch (microbatch split must not break
     DP), and the divisibility / >=1 guards."""
