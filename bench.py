@@ -27,6 +27,7 @@ Prints ONE JSON line:
 
 import json
 import os
+import sys
 import time
 
 
@@ -849,23 +850,49 @@ def main():
     # failures instead of losing the whole bench run to one
     attempts = int(os.environ.get("FROZENBILM_BENCH_ATTEMPTS", "10"))
     for i in range(attempts):
-        try:
-            device_kind = jax.devices()[0].device_kind
-            break
-        except RuntimeError as e:
-            if i == attempts - 1:
-                raise
-            print(f"# device init failed ({e}); retry {i + 1}/{attempts}",
-                  flush=True)
-            # discovery failure is cached in jax's backend registry; clear
-            # it or every retry would short-circuit on the same error
-            try:
-                from jax.extend.backend import clear_backends
+        # the claim-wait can also HANG (not error) for >10 min; do the
+        # init in a daemon thread so a hang is detectable. A hung thread
+        # pins jax's backend-init lock, so recovery is re-EXEC, not retry:
+        # the driver calls `python bench.py` exactly once, and execv keeps
+        # that one invocation alive through claim hangs.
+        import threading
 
-                clear_backends()
-            except Exception:
-                pass
-            time.sleep(60)
+        box = {}
+
+        def _t():
+            try:
+                box["kind"] = jax.devices()[0].device_kind
+            except Exception as e:  # noqa: BLE001
+                box["err"] = e
+
+        th = threading.Thread(target=_t, daemon=True)
+        th.start()
+        th.join(float(os.environ.get("FROZENBILM_BENCH_INIT_TIMEOUT", "600")))
+        if th.is_alive():
+            reexecs = int(os.environ.get("FROZENBILM_BENCH_REEXECS", "0"))
+            if reexecs >= 20:
+                raise RuntimeError("device init hung; re-exec budget spent")
+            print(f"# device init hung; re-exec {reexecs + 1}/20", flush=True)
+            os.environ["FROZENBILM_BENCH_REEXECS"] = str(reexecs + 1)
+            sys.stdout.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if "err" not in box:
+            device_kind = box["kind"]
+            break
+        e = box["err"]
+        if i == attempts - 1:
+            raise e
+        print(f"# device init failed ({e}); retry {i + 1}/{attempts}",
+              flush=True)
+        # discovery failure is cached in jax's backend registry; clear
+        # it or every retry would short-circuit on the same error
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+        time.sleep(60)
     peak = peak_bf16_flops(device_kind)
 
     def mfu(tflops):

@@ -45,28 +45,57 @@ def _stage_done(path, tpu_stamp=False):
         return False
 
 
-def main():
-    import jax
+def _devices_with_watchdog(timeout_s=600):
+    """jax.devices() in a daemon thread: the axon claim-wait can HANG
+    (observed Aug 18: init blocks >10 min instead of erroring). A hung
+    init holds jax's backend-init lock, so in-process retry is useless —
+    the caller must exit and let scripts/tpu_run.sh start a fresh
+    process (fresh claim request)."""
+    import threading
 
+    box = {}
+
+    def _t():
+        try:
+            import jax
+
+            box["kind"] = jax.devices()[0].device_kind
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            box["err"] = e
+
+    th = threading.Thread(target=_t, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return None, f"device init hung >{timeout_s}s (claim-wait)"
+    if "err" in box:
+        return None, str(box["err"])
+    return box["kind"], None
+
+
+def main():
     kind = None
     for i in range(10):
-        try:
-            got = jax.devices()[0].device_kind
+        got, err = _devices_with_watchdog()
+        if err is None and "TPU" not in got.upper():
             # HARD TPU check: under JAX_PLATFORMS='' a failed axon
             # registration silently falls back to cpu — never bench that.
-            if "TPU" not in got.upper():
-                raise RuntimeError(f"non-TPU device {got!r}")
+            err, got = f"non-TPU device {got!r}", None
+        if err is None:
             kind = got
             break
-        except RuntimeError as e:
-            print(f"# device init failed ({e}); retry {i + 1}/10", flush=True)
-            try:
-                from jax.extend.backend import clear_backends
+        print(f"# device init failed ({err}); retry {i + 1}/10", flush=True)
+        if "hung" in err:
+            # the hung thread pins the backend-init lock for the life of
+            # this process; only a fresh process can retry the claim
+            sys.exit(17)
+        try:
+            from jax.extend.backend import clear_backends
 
-                clear_backends()
-            except Exception:
-                pass
-            time.sleep(60)
+            clear_backends()
+        except Exception:
+            pass
+        time.sleep(60)
     if kind is None:
         # non-zero exit -> scripts/tpu_run.sh relaunches after its sleep
         sys.exit(17)
