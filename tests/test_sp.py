@@ -94,10 +94,10 @@ def test_mc_eval_step_under_sp():
     assert got.shape == (B, mc)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
-    def bert_forward(*a, **k):  # only the __name__ matters to the guard
+    def gptj_forward(*a, **k):  # only the __name__ matters to the guard
         raise AssertionError("should not be called")
 
-    bad = ModelBundle("bert", CFG, VT, init_params=None, forward=bert_forward)
+    bad = ModelBundle("gptj", CFG, VT, init_params=None, forward=gptj_forward)
     with pytest.raises(ValueError, match="DeBERTa"):
         make_mc_steps(bad, mask_token_id=4, n_cand=mc,
                       act_constraint=sequence_constraint(mesh))
