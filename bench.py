@@ -69,10 +69,18 @@ def peak_hbm_bw(device_kind: str):
 
 
 def tree_bytes(params) -> int:
-    """Total on-device bytes of a pytree (weight traffic per decode step)."""
+    """Total on-device bytes of a pytree (weight traffic per decode step).
+
+    int4 counts as half a byte: XLA's TPU backend stores s4 packed
+    two-per-byte in HBM (itemsize would report 1)."""
     import jax
 
-    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    def nbytes(x):
+        if str(x.dtype) == "int4":
+            return x.size // 2
+        return x.size * x.dtype.itemsize
+
+    return sum(nbytes(x) for x in jax.tree.leaves(params)
                if hasattr(x, "dtype"))
 
 
@@ -571,11 +579,19 @@ def bench_greedy_decode(small: bool):
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     variants = {"bf16": params}
+    quant_errs = {}
     try:
         variants["int8"] = jax.jit(quantize_tree)(params)
     except Exception as e:
         variants["int8"] = None
-        int8_err = repr(e)[:200]
+        quant_errs["int8"] = repr(e)[:200]
+    # weight-only int4: quarter weight bytes on the bandwidth-bound decode
+    try:
+        variants["w4"] = jax.jit(
+            lambda p: quantize_tree(p, mode="w4"))(params)
+    except Exception as e:
+        variants["w4"] = None
+        quant_errs["w4"] = repr(e)[:200]
 
     try:
         kind = jax.devices()[0].device_kind
@@ -587,7 +603,7 @@ def bench_greedy_decode(small: bool):
     out = {}
     for name, p in variants.items():
         if p is None:
-            out[name] = {"error": int8_err}
+            out[name] = {"error": quant_errs.get(name, "quantize failed")}
             continue
         wbytes = tree_bytes(p)
         res = {"weight_bytes_gb": round(wbytes / 1e9, 3)}

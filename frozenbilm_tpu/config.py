@@ -405,12 +405,15 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="native checkpoint serialization (load is "
                              "auto-detected; orbax = per-leaf OCDBT storage)")
     parser.add_argument("--quantize", default="none",
-                        choices=["none", "w8a8", "w8a8_static"],
-                        help="int8-quantize frozen linear layers for eval "
-                             "(W8A8 on the MXU; inference-only, see ops/quant.py). "
-                             "w8a8_static calibrates per-site activation scales "
-                             "on the first val batches instead of per-row "
-                             "dynamic quant")
+                        choices=["none", "w8a8", "w8a8_static", "w4"],
+                        help="quantize frozen linear layers for eval "
+                             "(inference-only, see ops/quant.py). w8a8: int8 "
+                             "weights + dynamic per-row int8 activations on "
+                             "the s8 MXU. w8a8_static calibrates per-site "
+                             "activation scales on the first val batches "
+                             "instead of per-row dynamic quant. w4: "
+                             "weight-only int4 (bf16 MXU, quarter weight "
+                             "bytes — for the bandwidth-bound decode path)")
     parser.add_argument("--quant_calibration_batches", type=int, default=1,
                         help="batches used to calibrate w8a8_static act scales")
     parser.add_argument("--length_buckets", default="",

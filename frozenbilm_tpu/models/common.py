@@ -51,6 +51,10 @@ def linear(p, x: jax.Array) -> jax.Array:
         from frozenbilm_tpu.ops.quant import linear_w8a8
 
         return linear_w8a8(p, x)
+    if "kernel_q4" in p:  # weight-only int4 frozen layer (ops/quant.py)
+        from frozenbilm_tpu.ops.quant import linear_w4
+
+        return linear_w4(p, x)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"]

@@ -224,13 +224,17 @@ def set_answer_embeddings(params, a2tok, pad_token_id: int = 0):
 
 
 def _slice_proj(p, lo: int, hi: int):
-    """Column slice [lo, hi) of the fused qkv linear (bf16 or W8A8 dict).
+    """Column slice [lo, hi) of the fused qkv linear (bf16, W8A8, or w4 dict).
 
-    Static slices fuse into the consuming dot; per-out-channel quant scales
-    and biases slice with their columns."""
+    Static slices fuse into the consuming dot; quant scales (per-out-channel
+    1D or grouped (G, out)) and biases slice with their columns — the out
+    dim is last in every scale layout."""
     out = {}
     if "kernel_q" in p:
         out["kernel_q"] = p["kernel_q"][..., lo:hi]
+        out["scale"] = p["scale"][..., lo:hi]
+    elif "kernel_q4" in p:
+        out["kernel_q4"] = p["kernel_q4"][..., lo:hi]
         out["scale"] = p["scale"][..., lo:hi]
     else:
         out["kernel"] = p["kernel"][..., lo:hi]

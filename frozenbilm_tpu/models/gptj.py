@@ -428,8 +428,8 @@ def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
     L0 = delay + T
     Lmax = L0 + G
     rd = cfg.rotary_dim or cfg.head_dim
-    lm = params["lm_head"]  # kernel_q when the tree is W8A8-quantized
-    V = lm.get("kernel", lm.get("kernel_q")).shape[-1]
+    lm = params["lm_head"]  # kernel_q / kernel_q4 when the tree is quantized
+    V = lm.get("kernel", lm.get("kernel_q", lm.get("kernel_q4"))).shape[-1]
     assert V >= 2 * K, "vocab must cover the 2*num_beams candidate pool"
 
     out = gptj_forward(params, cfg, vt, input_ids, attention_mask, video,

@@ -59,6 +59,95 @@ def quantize_linear_params(p: Dict) -> Dict:
     return out
 
 
+W4_GROUP = 128  # contraction-dim group size for int4 scales (MXU tile width)
+
+
+def quantize_linear_params_w4(p: Dict, group_size: int = W4_GROUP) -> Dict:
+    """{'kernel': (..., in, out) float, 'bias'?} -> int4 kernel + f32 scales.
+
+    Weight-ONLY quantization for the bandwidth-bound decode/serving path:
+    symmetric int4 (range [-7, 7]; -8 is unused to keep the quantizer
+    symmetric) with GROUP-WISE scales — amax/7 over each `group_size` slab
+    of the contraction dim, per output channel (scale shape (..., G, out)).
+    Group-wise is the standard int4 quality floor (per-channel RTN int4
+    loses ~2x more precision on real weight matrices); when the contraction
+    dim isn't divisible by `group_size`, falls back to per-channel scales
+    (scale shape (..., out)).
+
+    XLA stores s4 packed two-per-byte in HBM on TPU, so every decode step
+    reads HALF the weight bytes of the int8 path and a QUARTER of bf16.
+    Activations stay in bf16 and the matmuls run on the bf16 MXU — decode
+    is bandwidth-bound, not FLOP-bound, so the s8 MXU rate is irrelevant
+    there (bench.py decode roofline).
+
+    Like the int8 form, stacked scan kernels (n_layers, in, out) get
+    independent per-layer scales and lax.scan slices kernel_q4/scale
+    together.
+    """
+    w = jnp.asarray(p["kernel"], jnp.float32)
+    k = w.shape[-2]
+    if group_size and k % group_size == 0 and k > group_size:
+        g = group_size
+        lead = w.shape[:-2]
+        wg = w.reshape(lead + (k // g, g, w.shape[-1]))
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2), 1e-8) * (1.0 / 7.0)
+        q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7.0, 7.0)
+        q = q.astype(jnp.int4).reshape(w.shape)
+    else:
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8) * (1.0 / 7.0)
+        q = jnp.clip(jnp.round(w / scale[..., None, :]), -7.0, 7.0).astype(jnp.int4)
+    out = {"kernel_q4": q, "scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def linear_w4(p: Dict, x: jax.Array) -> jax.Array:
+    """Weight-only int4 matmul: dot-then-scale.
+
+    The int4 weight is CONVERTED (not dequantized with its scale) to the
+    activation dtype and fed straight to the MXU — int4 values are exact in
+    bf16, the convert is a fusable elementwise op on the dot's operand
+    stream, and the scales fold into the f32 accumulator AFTER the dots.
+    This keeps the only HBM weight traffic at 0.5 bytes per weight; a
+    dequantize-then-dot formulation would tempt XLA into materializing a
+    full bf16 copy.
+
+    Grouped scales (scale (G, out) for kernel (K, out), G = K/group) split
+    the contraction into G batched dots of width K/G (>= 128, a full MXU
+    tile) whose partial sums are scale-weighted then reduced — numerically
+    the exact grouped dequantization, with no dequantized weight tensor.
+    """
+    q = p["kernel_q4"]
+    scale = p["scale"]
+    # XLA:CPU's DotThunk can't execute a convert-fed bf16 x bf16 -> f32 dot
+    # (tests and dryruns run there); TPU is the real target and keeps bf16
+    # MXU operands. Trace-time constant — no runtime branch.
+    cdt = x.dtype
+    if jax.default_backend() == "cpu" and x.dtype == jnp.bfloat16:
+        cdt = jnp.float32
+    xc = x.astype(cdt)
+    if scale.ndim == q.ndim:  # grouped: (G, out) alongside (K, out)
+        gcount = scale.shape[-2]
+        k, out_dim = q.shape[-2], q.shape[-1]
+        xg = xc.reshape(x.shape[:-1] + (gcount, k // gcount))
+        qg = q.reshape((gcount, k // gcount, out_dim)).astype(cdt)
+        # (..., G, g) x (G, g, out) -> (..., G, out), f32 accumulation
+        t = jnp.einsum("...gk,gko->...go", xg, qg,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("...go,go->...o", t, scale)
+    else:
+        acc = jax.lax.dot_general(
+            xc, q.astype(cdt),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc * scale
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
 def linear_w8a8(p: Dict, x: jax.Array) -> jax.Array:
     """Int8 MXU matmul + f32 rescale.
 
@@ -173,8 +262,9 @@ def calibrate_act_scales(forward, params: Dict, batches) -> Dict:
 
 
 def quantize_tree(params: Dict, trainable: Dict | None = None,
-                  min_features: int = 64) -> Dict:
-    """Replace frozen linear kernels in a nested param dict with int8 forms.
+                  min_features: int = 64, mode: str = "w8a8") -> Dict:
+    """Replace frozen linear kernels in a nested param dict with quantized
+    forms: int8 W8A8 (mode="w8a8") or weight-only int4 (mode="w4").
 
     trainable: optional same-structure boolean tree (train.partition
     .trainable_mask); leaves marked trainable keep full precision. Kernels
@@ -182,6 +272,8 @@ def quantize_tree(params: Dict, trainable: Dict | None = None,
     (e.g. toy-scale tests, tiny adapters) gain nothing on the MXU and lose
     the most precision.
     """
+    quant_one = {"w8a8": quantize_linear_params,
+                 "w4": quantize_linear_params_w4}[mode]
 
     def walk(node, train_node):
         if not isinstance(node, dict):
@@ -199,7 +291,7 @@ def quantize_tree(params: Dict, trainable: Dict | None = None,
                 and not (isinstance(t_child, dict) and any(
                     bool(v) for v in jax.tree.leaves(t_child)))
             ):
-                out[name] = quantize_linear_params(child)
+                out[name] = quant_one(child)
             else:
                 out[name] = walk(child, t_child)
         return out
@@ -210,7 +302,8 @@ def quantize_tree(params: Dict, trainable: Dict | None = None,
 def is_quantized(params: Dict) -> bool:
     def has_q(node):
         if isinstance(node, dict):
-            return "kernel_q" in node or any(has_q(v) for v in node.values())
+            return ("kernel_q" in node or "kernel_q4" in node
+                    or any(has_q(v) for v in node.values()))
         return False
 
     return has_q(params)

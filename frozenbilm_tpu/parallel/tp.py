@@ -32,23 +32,31 @@ def _gpt_spec_for(path_names, leaf) -> P:
         return P(*(lead + dims))
 
     joined = "/".join(names)
+    # quant scales: per-channel (out,) shards like the bias; GROUPED int4
+    # scales are (G, out) — 2D like the kernel — and must follow the
+    # kernel's own layout so each K-slab keeps its group scales local.
+    grouped_scale = names[-1] == "scale" and ndim - len(lead) == 2
     # column-parallel: shard the output features ('kernel' matches the int8
-    # 'kernel_q' too; per-out-channel quant 'scale' shards with the bias)
+    # 'kernel_q' / int4 'kernel_q4' too)
     if any(f"{n}/kernel" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")):
         return spec(None, MODEL_AXIS)
     if any(f"{n}/{v}" in joined for n in ("q_proj", "k_proj", "v_proj", "fc_in", "c_fc")
            for v in ("bias", "scale")):
-        return spec(MODEL_AXIS)
-    # row-parallel: shard the input features; bias/scale replicated (the
-    # dynamic activation abs-max over the sharded feature dim becomes a
-    # GSPMD max all-reduce, so every shard quantizes identically)
+        return spec(None, MODEL_AXIS) if grouped_scale else spec(MODEL_AXIS)
+    # row-parallel: shard the input features; bias and per-channel scale
+    # replicated (the dynamic activation abs-max over the sharded feature
+    # dim becomes a GSPMD max all-reduce, so every shard quantizes
+    # identically); grouped scales shard their G axis with the kernel's K
     if any(f"{n}/kernel" in joined for n in ("out_proj", "fc_out", "c_proj")):
         return spec(MODEL_AXIS, None)
+    if grouped_scale and any(
+            f"{n}/scale" in joined for n in ("out_proj", "fc_out", "c_proj")):
+        return spec(MODEL_AXIS, None)
     # vocab head: shard the vocabulary dim
-    if names[:1] == ["lm_head"] and names[-1] in ("kernel", "kernel_q"):
+    if names[:1] == ["lm_head"] and names[-1] in ("kernel", "kernel_q", "kernel_q4"):
         return P(None, MODEL_AXIS)
     if names[:1] == ["lm_head"] and names[-1] in ("bias", "scale"):
-        return P(MODEL_AXIS)
+        return P(None, MODEL_AXIS) if grouped_scale else P(MODEL_AXIS)
     if names[:1] == ["wte"]:
         return P(None, None)
     return spec(*([None] * (ndim - len(lead))))

@@ -133,14 +133,15 @@ def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str,
             "--quantize w8a8_static needs an activation-calibration pass; "
             "this driver has none — use the videoqa driver (calibrates on "
             "the first val batches) or --quantize w8a8 (dynamic scales)")
-    if mode not in ("w8a8", "w8a8_static"):
+    if mode not in ("w8a8", "w8a8_static", "w4"):
         raise ValueError(f"unknown --quantize mode {mode!r}")
     import jax
 
     from frozenbilm_tpu.ops.quant import quantize_tree
 
+    quant_mode = "w4" if mode == "w4" else "w8a8"
     mask = trainable_mask(params, vt)
-    return jax.jit(lambda p: quantize_tree(p, mask))(params)
+    return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode))(params)
 
 
 def reject_quantized_for_training(params: Dict, eval_mode: bool) -> None:

@@ -269,3 +269,158 @@ def test_driver_rejects_quantize_without_eval(tmp_path):
          "--quantize", "w8a8", "--save_dir", str(tmp_path)])
     with pytest.raises(ValueError, match="inference-only"):
         task.main(args)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int4 (w4)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_w4_matches_explicit_grouped_dequant():
+    """The dot-then-scale formulation is EXACTLY grouped dequantization."""
+    from frozenbilm_tpu.ops.quant import linear_w4, quantize_linear_params_w4
+
+    rng = np.random.default_rng(10)
+    p = {"kernel": jnp.asarray(rng.normal(size=(256, 96)), jnp.float32) * 0.05,
+         "bias": jnp.asarray(rng.normal(size=(96,)), jnp.float32)}
+    q = quantize_linear_params_w4(p)
+    assert q["kernel_q4"].dtype == jnp.int4
+    assert q["scale"].shape == (2, 96)  # K=256, group=128 -> G=2
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    got = np.asarray(linear_w4(q, x))
+    wq = np.asarray(q["kernel_q4"], np.float32).reshape(2, 128, 96)
+    deq = (wq * np.asarray(q["scale"])[:, None, :]).reshape(256, 96)
+    ref = np.asarray(x, np.float32) @ deq + np.asarray(p["bias"])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_linear_w4_per_channel_fallback():
+    """K not divisible by the group -> per-channel scales, same dispatch."""
+    from frozenbilm_tpu.ops.quant import linear_w4, quantize_linear_params_w4
+
+    rng = np.random.default_rng(11)
+    p = {"kernel": jnp.asarray(rng.normal(size=(96, 64)), jnp.float32)}
+    q = quantize_linear_params_w4(p)
+    assert q["scale"].shape == (64,)
+    x = jnp.asarray(rng.normal(size=(4, 96)), jnp.float32)
+    deq = np.asarray(q["kernel_q4"], np.float32) * np.asarray(q["scale"])
+    ref = np.asarray(x, np.float32) @ deq
+    np.testing.assert_allclose(np.asarray(linear_w4(q, x)), ref,
+                               rtol=1e-5, atol=1e-5)
+    # and common.linear dispatches on kernel_q4
+    np.testing.assert_allclose(np.asarray(linear(q, x)),
+                               np.asarray(linear_w4(q, x)))
+
+
+def test_w4_fidelity_vs_f32():
+    """Weight-only int4 keeps outputs well-correlated with f32 (no
+    activation quantization; grouped scales)."""
+    from frozenbilm_tpu.ops.quant import linear_w4, quantize_linear_params_w4
+
+    rng = np.random.default_rng(12)
+    p = {"kernel": jnp.asarray(rng.normal(size=(512, 256)), jnp.float32) * 0.03}
+    x = jnp.asarray(rng.normal(size=(16, 512)), jnp.float32)
+    ref = np.asarray(linear(p, x))
+    got = np.asarray(linear_w4(quantize_linear_params_w4(p), x))
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_quantize_tree_w4_scopes_and_stacks():
+    from frozenbilm_tpu.train.partition import trainable_mask
+
+    m, cfg, vt, params, _ = _toy_deberta()
+    mask = trainable_mask(params, vt)
+    q = quantize_tree(params, mask, min_features=64, mode="w4")
+    assert is_quantized(q) and not is_quantized(params)
+    self_p = q["encoder"]["layers"]["attention"]["self"]
+    assert self_p["qkv_proj"]["kernel_q4"].dtype == jnp.int4
+    # toy hidden=128 -> K=128 == group -> per-channel stacked scales
+    assert self_p["qkv_proj"]["scale"].shape == (
+        cfg.num_hidden_layers, 3 * cfg.hidden_size)
+    assert not is_quantized(q["encoder"]["layers"]["attention"]["output"]["adapter"])
+    assert "kernel" in q["embeddings"]["linear_video"]
+
+
+def test_w4_deberta_forward_tracks_f32():
+    m, cfg, vt, params, (ids, am, video, vm) = _toy_deberta()
+    from frozenbilm_tpu.train.partition import apply_quantization
+
+    qparams = apply_quantization(params, vt, "w4")
+
+    def answer_logits(p):
+        out = m.deberta_forward(p, cfg, vt, ids, am, video, vm, mlm=False)
+        h = out.last_hidden_state[:, vt.max_feats + 3]
+        return m.deberta_answer_logits(p, cfg, h)
+
+    ref = np.asarray(answer_logits(params))
+    got = np.asarray(answer_logits(qparams))
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    # int4 RTN carries ~2% noise through 2 layers of iid-gaussian toy
+    # weights (the worst case for round-to-nearest; real weight matrices
+    # have the outlier structure group scales exist for). Accuracy on real
+    # checkpoints must be validated before production use — see ops/quant.py
+    assert corr > 0.98, corr
+
+
+def test_w4_kv_cache_decode_runs():
+    """gptneo_greedy_cached with weight-only int4 params: the
+    cache-carrying decode path must compile and emit valid tokens (this is
+    the path w4 exists for — quarter weight bytes per decode step)."""
+    from frozenbilm_tpu.config import GPTNeoConfig
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached, init_gptneo_params
+
+    cfg = GPTNeoConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                       num_heads=4, window_size=6, max_position_embeddings=64)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    params = quantize_tree(init_gptneo_params(jax.random.PRNGKey(0), cfg, vt),
+                           min_features=8, mode="w4")
+    assert is_quantized(params)
+    rng = np.random.default_rng(13)
+    ids = jnp.asarray(rng.integers(3, 256, size=(2, 8)))
+    am = jnp.ones((2, 8), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
+    vm = jnp.ones((2, 4), jnp.int32)
+    out = np.asarray(gptneo_greedy_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=4, eos_token_id=2))
+    assert out.shape == (2, 12)
+    assert ((0 <= out) & (out < 256)).all()
+
+
+def test_w4_gptj_under_tp_matches_single_device():
+    """w4 + tensor parallelism: kernel_q4 shards like kernel; GROUPED
+    scales (2D) shard with the kernel layout (column: out dim; row: G dim
+    alongside K) — logits must match the single-device w4 forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from frozenbilm_tpu.config import GPTJConfig
+    from frozenbilm_tpu.models.gptj import gptj_forward, init_gptj_params
+    from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh
+    from frozenbilm_tpu.parallel.tp import gpt_param_specs, shard_params
+    from frozenbilm_tpu.ops.quant import quantize_linear_params_w4
+
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    # hidden 512 so K=512 makes G=4 groups (divisible by model=4 shards)
+    cfg = GPTJConfig(vocab_size=128, hidden_size=512, num_layers=1, num_heads=4,
+                     rotary_dim=4, max_position_embeddings=64)
+    params = init_gptj_params(jax.random.PRNGKey(0), cfg, vt)
+    qparams = quantize_tree(params, min_features=8, mode="w4")
+    assert is_quantized(qparams)
+    # the fc_in kernel really is grouped (K=512 > 128)
+    assert qparams["layers"]["mlp"]["fc_in"]["scale"].ndim == 3
+    rng = np.random.default_rng(14)
+    ids = jnp.asarray(rng.integers(1, 128, size=(4, 8)))
+    am = jnp.ones((4, 8), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(4, 4, 16)), jnp.float32)
+    vm = jnp.ones((4, 4), jnp.int32)
+    ref = np.asarray(gptj_forward(qparams, cfg, vt, ids, am, video, vm).logits)
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    sharded = shard_params(mesh, qparams, gpt_param_specs(qparams))
+    data_sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, data_sh) for x in (ids, am, video, vm)]
+    got = np.asarray(gptj_forward(sharded, cfg, vt, *args).logits)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
