@@ -578,17 +578,21 @@ def bench_greedy_decode(small: bool):
     params = jax.jit(lambda k: init_gptneo_params(k, cfg, vt))(jax.random.PRNGKey(0))
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
-    variants = {"bf16": params}
+    # variant name -> (params, kv_int8). kv8 halves the KV term of
+    # bytes/step the way w4 quarters the weight term; w4_kv8 is the
+    # minimum-bytes configuration.
+    variants = {"bf16": (params, False), "bf16_kv8": (params, True)}
     quant_errs = {}
     try:
-        variants["int8"] = jax.jit(quantize_tree)(params)
+        variants["int8"] = (jax.jit(quantize_tree)(params), False)
     except Exception as e:
         variants["int8"] = None
         quant_errs["int8"] = repr(e)[:200]
     # weight-only int4: quarter weight bytes on the bandwidth-bound decode
     try:
-        variants["w4"] = jax.jit(
-            lambda p: quantize_tree(p, mode="w4"))(params)
+        w4p = jax.jit(lambda p: quantize_tree(p, mode="w4"))(params)
+        variants["w4"] = (w4p, False)
+        variants["w4_kv8"] = (w4p, True)
     except Exception as e:
         variants["w4"] = None
         quant_errs["w4"] = repr(e)[:200]
@@ -601,10 +605,11 @@ def bench_greedy_decode(small: bool):
 
     rng = np.random.default_rng(0)
     out = {}
-    for name, p in variants.items():
-        if p is None:
+    for name, entry in variants.items():
+        if entry is None:
             out[name] = {"error": quant_errs.get(name, "quantize failed")}
             continue
+        p, kv8 = entry
         wbytes = tree_bytes(p)
         res = {"weight_bytes_gb": round(wbytes / 1e9, 3)}
         for B in batches:
@@ -614,7 +619,7 @@ def bench_greedy_decode(small: bool):
             vm = jnp.ones((B, F), jnp.int32)
             gen = jax.jit(lambda p, v, m, i, a: gptneo_greedy_cached(
                 p, cfg, vt, video=v, video_mask=m, input_ids=i,
-                attention_mask=a, max_new_tokens=new_tokens))
+                attention_mask=a, max_new_tokens=new_tokens, kv_int8=kv8))
             # full token fetch forces real completion (remote timing lies)
             _ = np.asarray(gen(p, video, vm, ids, am))
             t0 = time.perf_counter()
@@ -624,7 +629,10 @@ def bench_greedy_decode(small: bool):
             # KV bytes read per step: 2 (K+V) x h x 2B-bytes per cached
             # token-layer, at the mean decode-time context length
             mean_ctx = F + T + new_tokens / 2
-            kv = 2 * cfg.hidden_size * 2 * mean_ctx * cfg.num_layers * B
+            # bytes per cached element: bf16 = 2; int8 = 1 + one f32 scale
+            # per head_dim vector
+            kv_elt = (1.0 + 4.0 / cfg.head_dim) if kv8 else 2.0
+            kv = 2 * cfg.hidden_size * kv_elt * mean_ctx * cfg.num_layers * B
             bytes_step = wbytes + kv
             dt_step = dt / new_tokens
             leg = {"tokens_per_sec": round(B * new_tokens / dt, 2),

@@ -292,6 +292,8 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, sin_all,
     sin1 = jax.lax.dynamic_slice(sin_all, (t, 0), (1, rd))
     cos1 = jax.lax.dynamic_slice(cos_all, (t, 0), (1, rd))
 
+    kv8 = isinstance(k_cache, dict)
+
     def layer(h, xs):
         lp, kc, vc = xs
         ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
@@ -300,19 +302,33 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, sin_all,
         v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
         q = jnp.concatenate([apply_rotary(q[..., :rd], sin1, cos1), q[..., rd:]], -1)
         k = jnp.concatenate([apply_rotary(k[..., :rd], sin1, cos1), k[..., rd:]], -1)
-        kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
-        w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
-                       kc.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+        if kv8:
+            from frozenbilm_tpu.ops.quant import kv_write
+
+            kc = kv_write(kc, k[:, 0], t)
+            vc = kv_write(vc, v[:, 0], t)
+            w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
+                           kc["q"].astype(jnp.float32),
+                           preferred_element_type=jnp.float32) * kc["s"]
+        else:
+            kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
+            w = jnp.einsum("bhd,bhjd->bhj", q[:, 0].astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
         # same masking order as the full forward: causal fill, THEN
         # scale, THEN additive padding mask (gptj.py:180-184)
         w = jnp.where(jnp.arange(Lmax)[None, None, :] <= t, w, NEG_BIAS)
         w = w / math.sqrt(hd)
         w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
-        p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
-        ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
-                         preferred_element_type=jnp.float32).astype(vc.dtype)
+        if kv8:
+            p = jax.nn.softmax(w, axis=-1) * vc["s"]  # fold per-key V scales
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc["q"].astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+        else:
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
         attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
         ff = linear(lp["mlp"]["fc_out"],
                     ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
@@ -330,7 +346,8 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                        eos_token_id: Optional[int] = None,
                        pad_token_id: int = 0,
                        temperature: float = 0.0, top_k: int = 0,
-                       top_p: float = 1.0, rng=None):
+                       top_p: float = 1.0, rng=None,
+                       kv_int8: bool = False):
     """KV-cache decode: ONE prefill forward (video + prompt), then
     max_new_tokens single-token steps inside a lax.scan over a preallocated
     (num_layers, B, heads, Lmax, head_dim) cache.
@@ -364,6 +381,10 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
     k_cache = jnp.pad(out.kv[0], pad)
     v_cache = jnp.pad(out.kv[1], pad)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
     if use_video:
         vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
         full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
@@ -405,7 +426,8 @@ def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
                      early_stopping: bool = False,
                      num_return_sequences: int = 1,
                      min_length: int = 0,
-                     return_scores: bool = False):
+                     return_scores: bool = False,
+                     kv_int8: bool = False):
     """Beam-search decoding over the KV cache. Same static-shape beam state
     as gptneo_beam_cached (ops/sampling.beam_*, mirroring the beam path of
     the reference's vendored generate, gptneo.py:1294-1333, which GPT-J
@@ -439,6 +461,10 @@ def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
     # repeat_interleaves; beam 1.. start at -1e9 so step 0 dedupes them)
     k_cache = jnp.repeat(jnp.pad(out.kv[0], pad), K, axis=1)
     v_cache = jnp.repeat(jnp.pad(out.kv[1], pad), K, axis=1)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
     if use_video:
         vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
         full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
@@ -465,8 +491,9 @@ def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
         # HF _reorder_cache: continue from the cache rows of the beams the
         # new live set extends
         src = (batch_base + bidx).reshape(-1)
-        k_cache = jnp.take(k_cache, src, axis=1)
-        v_cache = jnp.take(v_cache, src, axis=1)
+        # tree-wide gather: raw arrays, or int8 {"q","s"} leaves together
+        take = lambda c: jax.tree.map(lambda a: jnp.take(a, src, axis=1), c)
+        k_cache, v_cache = take(k_cache), take(v_cache)
         k_cache, v_cache, key_mask, logits = _decode_one(
             params, cfg, k_cache, v_cache, key_mask, tok.reshape(-1), t,
             sin_all, cos_all)

@@ -333,7 +333,12 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, pos, is_local):
     consumed token at cache position t, run every layer over the cache, and
     return (k_cache, v_cache, key_mask, logits). GPT-Neo specifics: learned
     wpe positions, UNSCALED fp32 attention, local layers see only the last
-    window_size absolute positions (reference gptneo.py:159-176)."""
+    window_size absolute positions (reference gptneo.py:159-176).
+
+    Caches are raw (n_layers, B, nh, Lmax, hd) arrays, or int8
+    {"q", "s"} dicts (ops/quant.kv_quantize) — both attention contractions
+    then run on int8-converted values with the per-key scales folded
+    outside the dots (exact dequantization, half the KV bytes/step)."""
     B = tok.shape[0]
     nh, hd = cfg.num_heads, cfg.head_dim
     Lmax = key_mask.shape[1]
@@ -342,24 +347,39 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, pos, is_local):
     idx = jnp.arange(Lmax)
     causal_row = idx <= t
     local_row = causal_row & (idx > t - cfg.window_size)
+    kv8 = isinstance(k_cache, dict)
 
     def layer(h, xs):
         lp, kc, vc, local_flag = xs
         ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
         q = linear(lp["attn"]["q_proj"], ln).reshape(B, nh, hd)
-        k = linear(lp["attn"]["k_proj"], ln).reshape(B, 1, nh, hd)
-        v = linear(lp["attn"]["v_proj"], ln).reshape(B, 1, nh, hd)
-        kc = jax.lax.dynamic_update_slice(kc, k.transpose(0, 2, 1, 3), (0, 0, t, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.transpose(0, 2, 1, 3), (0, 0, t, 0))
-        w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
-                       kc.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, nh, hd)
+        if kv8:
+            from frozenbilm_tpu.ops.quant import kv_write
+
+            kc = kv_write(kc, k, t)
+            vc = kv_write(vc, v, t)
+            w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
+                           kc["q"].astype(jnp.float32),
+                           preferred_element_type=jnp.float32) * kc["s"]
+        else:
+            kc = jax.lax.dynamic_update_slice(kc, k[:, :, None, :], (0, 0, t, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v[:, :, None, :], (0, 0, t, 0))
+            w = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
         allowed = jnp.where(local_flag, local_row, causal_row)
         w = jnp.where(allowed[None, None, :], w, NEG_BIAS)  # unscaled
         w = w + (1.0 - key_mask)[:, None, :] * NEG_PAD
-        p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
-        ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
-                         preferred_element_type=jnp.float32).astype(vc.dtype)
+        if kv8:
+            p = jax.nn.softmax(w, axis=-1) * vc["s"]  # fold per-key V scales
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc["q"].astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+        else:
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhj,bhjd->bhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
         attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, nh * hd))
         h = h + attn_out
         h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
@@ -379,7 +399,8 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                          eos_token_id: Optional[int] = None,
                          pad_token_id: int = 0,
                          temperature: float = 0.0, top_k: int = 0,
-                         top_p: float = 1.0, rng=None):
+                         top_p: float = 1.0, rng=None,
+                         kv_int8: bool = False):
     """KV-cache decode (TPU rebuild of the vendored greedy_search/sample +
     past_key_values path, gptneo.py:850-1726): ONE genpos prefill forward,
     then max_new_tokens single-token steps in a lax.scan over a preallocated
@@ -406,6 +427,10 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
     k_cache = jnp.pad(out.kv[0], pad)
     v_cache = jnp.pad(out.kv[1], pad)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
     if use_video:
         vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
         full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
@@ -455,7 +480,8 @@ def gptneo_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
                        early_stopping: bool = False,
                        num_return_sequences: int = 1,
                        min_length: int = 0,
-                       return_scores: bool = False):
+                       return_scores: bool = False,
+                       kv_int8: bool = False):
     """Beam-search decoding over the KV cache (TPU rebuild of the beam path
     of the reference's vendored generate, gptneo.py:1294-1333: expand to
     B*num_beams -> BeamSearchScorer.process per step -> _reorder_cache ->
@@ -489,6 +515,10 @@ def gptneo_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
     # repeat_interleaves; beam 1.. start at -1e9 so step 0 dedupes them)
     k_cache = jnp.repeat(jnp.pad(out.kv[0], pad), K, axis=1)
     v_cache = jnp.repeat(jnp.pad(out.kv[1], pad), K, axis=1)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
     if use_video:
         vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
         full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
@@ -515,8 +545,9 @@ def gptneo_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
         # HF _reorder_cache: continue from the cache rows of the beams the
         # new live set extends
         src = (batch_base + bidx).reshape(-1)
-        k_cache = jnp.take(k_cache, src, axis=1)
-        v_cache = jnp.take(v_cache, src, axis=1)
+        # tree-wide gather: raw arrays, or int8 {"q","s"} leaves together
+        take = lambda c: jax.tree.map(lambda a: jnp.take(a, src, axis=1), c)
+        k_cache, v_cache = take(k_cache), take(v_cache)
         k_cache, v_cache, key_mask, logits = _decode_one(
             params, cfg, k_cache, v_cache, key_mask, tok.reshape(-1), t, pos,
             is_local)

@@ -148,6 +148,44 @@ def linear_w4(p: Dict, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Int8 KV cache (decode): at long contexts the per-step HBM traffic is
+# KV-dominated (bytes/step = weights + 2*L*h per layer), so quantizing the
+# cache halves that term the way w4 quarters the weight term. Per-vector
+# scales (one f32 scalar per cached (batch, head, position) K or V vector,
+# amax/127 over head_dim) keep the error ~0.4% RMS. Both attention
+# contractions stay EXACT dequantizations with the scale folded outside the
+# dot: QK^T multiplies per-key scales into the score row, probs@V folds
+# per-key scales into the probabilities before the contraction.
+# ---------------------------------------------------------------------------
+
+
+def kv_quantize(kv: jax.Array):
+    """(..., L, head_dim) float cache -> {"q": int8 same shape,
+    "s": (..., L) f32 per-vector scales}. Zero vectors (padding) get the
+    1e-8 floor and quantize to all-zeros."""
+    s = jnp.maximum(jnp.max(jnp.abs(kv.astype(jnp.float32)), -1), 1e-8) * (
+        1.0 / 127.0)
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / s[..., None]),
+                 -127.0, 127.0).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def kv_write(cache: Dict, new: jax.Array, t) -> Dict:
+    """Quantize one new (B, nh, head_dim) vector batch and write it at
+    cache position t (the decode-step dynamic_update_slice)."""
+    s = jnp.maximum(jnp.max(jnp.abs(new.astype(jnp.float32)), -1),
+                    1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(new.astype(jnp.float32) / s[..., None]),
+                 -127.0, 127.0).astype(jnp.int8)
+    return {
+        "q": jax.lax.dynamic_update_slice(cache["q"], q[:, :, None, :],
+                                          (0, 0, t, 0)),
+        "s": jax.lax.dynamic_update_slice(cache["s"], s[:, :, None],
+                                          (0, 0, t)),
+    }
+
+
 def linear_w8a8(p: Dict, x: jax.Array) -> jax.Array:
     """Int8 MXU matmul + f32 rescale.
 

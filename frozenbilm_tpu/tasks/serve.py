@@ -219,7 +219,8 @@ class GenService:
                     max_new_tokens=self.max_new, num_beams=self.num_beams,
                     eos_token_id=eos if eos is not None else 0,
                     pad_token_id=eos if eos is not None else 0,
-                    length_penalty=args.serve_length_penalty)
+                    length_penalty=args.serve_length_penalty,
+                    kv_int8=bool(getattr(args, "serve_kv_int8", 0)))
 
             _jb = jax.jit(beam_only)
 
@@ -235,7 +236,8 @@ class GenService:
                     max_new_tokens=self.max_new, eos_token_id=eos,
                     pad_token_id=eos if eos is not None else 0,
                     temperature=temps, top_k=args.serve_top_k,
-                    top_p=args.serve_top_p, rng=rng)
+                    top_p=args.serve_top_p, rng=rng,
+                    kv_int8=bool(getattr(args, "serve_kv_int8", 0)))
 
             self._gen = jax.jit(gen)
 
@@ -475,6 +477,12 @@ def get_serve_parser():
                         help="AR serving: top-k sampling filter (0 = off)")
     parser.add_argument("--serve_top_p", type=float, default=1.0,
                         help="AR serving: nucleus sampling mass (1 = off)")
+    parser.add_argument("--serve_kv_int8", type=int, default=0,
+                        help="store the decode KV cache in int8 with "
+                             "per-vector scales (ops/quant.kv_quantize) — "
+                             "halves the KV bytes/step of the "
+                             "bandwidth-bound decode; composes with "
+                             "--quantize w4")
     return parser
 
 

@@ -424,3 +424,96 @@ def test_w4_gptj_under_tp_matches_single_device():
     args = [jax.device_put(x, data_sh) for x in (ids, am, video, vm)]
     got = np.asarray(gptj_forward(sharded, cfg, vt, *args).logits)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Int8 KV cache
+# ---------------------------------------------------------------------------
+
+
+def test_kv_quantize_roundtrip_error():
+    from frozenbilm_tpu.ops.quant import kv_quantize
+
+    rng = np.random.default_rng(20)
+    kv = jnp.asarray(rng.normal(size=(2, 3, 4, 8, 16)), jnp.float32)
+    c = kv_quantize(kv)
+    assert c["q"].dtype == jnp.int8 and c["s"].shape == (2, 3, 4, 8)
+    deq = np.asarray(c["q"], np.float32) * np.asarray(c["s"])[..., None]
+    rel = np.linalg.norm(deq - np.asarray(kv)) / np.linalg.norm(np.asarray(kv))
+    assert rel < 0.005, rel  # per-vector int8: ~0.2% RMS
+    # zero (padding) vectors quantize to zeros, not NaN
+    z = kv_quantize(jnp.zeros((1, 1, 1, 2, 4)))
+    assert np.asarray(z["q"]).max() == 0 and np.isfinite(np.asarray(z["s"])).all()
+
+
+def test_kv_write_matches_full_quantize():
+    from frozenbilm_tpu.ops.quant import kv_quantize, kv_write
+
+    rng = np.random.default_rng(21)
+    full = jnp.asarray(rng.normal(size=(2, 4, 6, 16)), jnp.float32)  # B,nh,L,hd
+    # quantize first 5 positions, then write position 5 incrementally
+    c = kv_quantize(full.at[:, :, 5].set(0.0))
+    c = kv_write(c, full[:, :, 5], 5)
+    want = kv_quantize(full)
+    np.testing.assert_array_equal(np.asarray(c["q"]), np.asarray(want["q"]))
+    # scales equal except the padding floor at the pre-write position
+    np.testing.assert_allclose(np.asarray(c["s"]), np.asarray(want["s"]),
+                               rtol=1e-6)
+
+
+def _toy_gptneo():
+    from frozenbilm_tpu.config import GPTNeoConfig
+
+    cfg = GPTNeoConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                       num_heads=4, window_size=6, max_position_embeddings=64)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    rng = np.random.default_rng(22)
+    ids = jnp.asarray(rng.integers(3, 256, size=(2, 8)))
+    am = jnp.ones((2, 8), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
+    vm = jnp.ones((2, 4), jnp.int32)
+    return cfg, vt, (ids, am, video, vm)
+
+
+def test_kv_int8_greedy_tracks_bf16_cache():
+    """gptneo_greedy_cached(kv_int8=True): same shapes, valid tokens, and
+    high token agreement with the full-precision cache (per-vector int8 KV
+    is ~0.2% RMS error)."""
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached, init_gptneo_params
+
+    cfg, vt, (ids, am, video, vm) = _toy_gptneo()
+    params = init_gptneo_params(jax.random.PRNGKey(0), cfg, vt)
+    kw = dict(video=video, video_mask=vm, input_ids=ids, attention_mask=am,
+              max_new_tokens=6, eos_token_id=2)
+    ref = np.asarray(gptneo_greedy_cached(params, cfg, vt, **kw))
+    got = np.asarray(gptneo_greedy_cached(params, cfg, vt, kv_int8=True, **kw))
+    assert got.shape == ref.shape
+    assert ((0 <= got) & (got < 256)).all()
+    agree = (ref == got).mean()
+    assert agree > 0.9, agree
+
+
+def test_kv_int8_beam_and_gptj_run():
+    """Beam decode reorders int8 cache dicts tree-wide; GPT-J greedy
+    threads kv_int8 through its rotary decode step."""
+    from frozenbilm_tpu.config import GPTJConfig
+    from frozenbilm_tpu.models.gptj import gptj_greedy_cached, init_gptj_params
+    from frozenbilm_tpu.models.gptneo import gptneo_beam_cached, init_gptneo_params
+
+    cfg, vt, (ids, am, video, vm) = _toy_gptneo()
+    params = init_gptneo_params(jax.random.PRNGKey(0), cfg, vt)
+    out = np.asarray(gptneo_beam_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=4, num_beams=3, eos_token_id=2,
+        kv_int8=True))
+    assert out.shape == (2, 12) and ((0 <= out) & (out < 256)).all()
+
+    jcfg = GPTJConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                      num_heads=4, rotary_dim=8, max_position_embeddings=64)
+    jparams = init_gptj_params(jax.random.PRNGKey(1), jcfg, vt)
+    kw = dict(video=video, video_mask=vm, input_ids=ids, attention_mask=am,
+              max_new_tokens=4, eos_token_id=2)
+    ref = np.asarray(gptj_greedy_cached(jparams, jcfg, vt, **kw))
+    got = np.asarray(gptj_greedy_cached(jparams, jcfg, vt, kv_int8=True, **kw))
+    assert got.shape == ref.shape and (ref == got).mean() > 0.9
