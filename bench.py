@@ -646,6 +646,82 @@ def bench_greedy_decode(small: bool):
     return out
 
 
+def bench_speculative_decode(small: bool):
+    """Prompt-lookup speculative greedy decode (ops/speculative.py) vs the
+    plain greedy leg, GPT-Neo-1.3B. Speculation's win is workload-dependent
+    (acceptance = how often the model's own argmax continues an n-gram
+    already seen), so we report the realized acceptance (emitted tokens per
+    verify step) alongside tokens/sec for two regimes: natural (random
+    prompt — worst case, acceptance reflects the model's self-loops) and
+    copy (the prompt embeds a strict repeating pattern, the regime
+    subtitles/QA serving lives in). Output tokens are greedy-EXACT either
+    way (tests/test_speculative.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTNeoConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptneo import (gptneo_greedy_cached,
+                                              gptneo_speculative_cached,
+                                              init_gptneo_params)
+
+    if small:
+        cfg = GPTNeoConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                           num_heads=4, window_size=8,
+                           max_position_embeddings=256)
+        B, T, F, new_tokens, feat_dim, n_draft = 2, 8, 4, 6, 32, 3
+    else:
+        cfg = GPTNeoConfig()  # gpt-neo-1.3B
+        B, T, F, new_tokens, feat_dim, n_draft = 8, 64, 10, 32, 768, 7
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    params = jax.jit(lambda k: init_gptneo_params(k, cfg, vt))(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
+    vm = jnp.ones((B, F), jnp.int32)
+    am = jnp.ones((B, T), jnp.int32)
+    natural = rng.integers(5, cfg.vocab_size, size=(B, T))
+    period = rng.integers(5, cfg.vocab_size, size=4)
+    copy = np.tile(period, T // 4 + 1)[:T][None].repeat(B, 0)
+
+    spec = jax.jit(lambda p, v, m, i, a: gptneo_speculative_cached(
+        p, cfg, vt, video=v, video_mask=m, input_ids=i, attention_mask=a,
+        max_new_tokens=new_tokens, n_draft=n_draft, return_stats=True))
+    greedy = jax.jit(lambda p, v, m, i, a: gptneo_greedy_cached(
+        p, cfg, vt, video=v, video_mask=m, input_ids=i, attention_mask=a,
+        max_new_tokens=new_tokens))
+
+    out = {"n_draft": n_draft}
+    for name, prompt in (("natural", natural), ("copy", copy)):
+        ids = jnp.asarray(prompt)
+        _ = np.asarray(spec(params, video, vm, ids, am)[0])  # compile+warm
+        t0 = time.perf_counter()
+        toks, stats = spec(params, video, vm, ids, am)
+        toks = np.asarray(toks)
+        dt = time.perf_counter() - t0
+        _ = np.asarray(greedy(params, video, vm, ids, am))
+        t0 = time.perf_counter()
+        _ = np.asarray(greedy(params, video, vm, ids, am))
+        dt_g = time.perf_counter() - t0
+        steps = int(np.asarray(stats["steps"]))
+        emitted = int(np.asarray(stats["emitted"]).sum())
+        out[name] = {
+            "tokens_per_sec": round(B * new_tokens / dt, 2),
+            "greedy_tokens_per_sec": round(B * new_tokens / dt_g, 2),
+            "speedup_vs_greedy": round(dt_g / dt, 3),
+            "verify_steps": steps,
+            "emitted_per_step": round(emitted / max(B * steps, 1), 2),
+            # the hardware economics: a verify step costing ~1x a greedy
+            # step means speculation pays whenever acceptance > 1/step
+            "verify_step_cost_ratio": round(
+                (dt / max(steps, 1)) / (dt_g / new_tokens), 3),
+        }
+    return out
+
+
 def bench_train(small: bool):
     """0.9B DeBERTa adapter fine-tune MLM train step (the reference's core
     workload, main.py:24-84 train_one_epoch): fwd + bwd + AdamW update via
@@ -927,6 +1003,7 @@ def main():
     ar = bench_ar_scoring(small)
     ar_prefix = bench_ar_scoring_prefix(small)
     decode = bench_greedy_decode(small)
+    spec = bench_speculative_decode(small)
     mc = bench_mc(small)
     train = bench_train(small)
     # default ON (VERDICT r2 next #3); FROZENBILM_BENCH_6B=0 opts out
@@ -1013,6 +1090,7 @@ def main():
                     ar_prefix["flops_per_item"] / ar["flops_per_item"], 4),
             },
             "gptneo13_greedy_decode": decode,
+            "gptneo13_speculative_decode": spec,
             "deberta_xl_mc_eval": {
                 "questions_per_sec": round(mc["questions_per_sec"], 2),
                 "rows_per_sec": round(mc["rows_per_sec"], 2),

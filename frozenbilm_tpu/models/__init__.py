@@ -30,6 +30,7 @@ class ModelBundle:
     answer_logits: Optional[Callable] = None  # (params, hidden) -> (.., n_ans)
     greedy: Optional[Callable] = None  # AR KV-cache greedy decoding
     beam: Optional[Callable] = None  # AR KV-cache beam-search decoding
+    speculative: Optional[Callable] = None  # prompt-lookup greedy decoding
     prefill: Optional[Callable] = None  # prompt prefix -> KV cache dict
     score_with_prefix: Optional[Callable] = None  # (params, cfg, prefix, tgt)
 
@@ -99,6 +100,7 @@ def build_model(args) -> ModelBundle:
                 score=m.gptneo_score,
                 greedy=m.gptneo_greedy_cached,
                 beam=m.gptneo_beam_cached,
+                speculative=m.gptneo_speculative_cached,
                 prefill=m.gptneo_prefill,
                 score_with_prefix=m.gptneo_score_with_prefix,
             )
@@ -111,6 +113,7 @@ def build_model(args) -> ModelBundle:
             score=m.gptj_score,
             greedy=m.gptj_greedy_cached,
             beam=m.gptj_beam_cached,
+            speculative=m.gptj_speculative_cached,
             prefill=m.gptj_prefill,
             score_with_prefix=m.gptj_score_with_prefix,
         )

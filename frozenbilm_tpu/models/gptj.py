@@ -341,6 +341,193 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, sin_all,
     return k_cache, v_cache, key_mask, logits
 
 
+def _decode_many(params, cfg, k_cache, v_cache, step_mask, toks, tstart,
+                 sin_all, cos_all):
+    """K-token cached verify step with PER-ROW positions (speculative
+    decoding; see gptneo._decode_many for the scheme). GPT-J specifics:
+    rotary at each token's absolute cache slot, scaled attention with the
+    causal-fill -> scale -> pad-mask order of the full forward, parallel
+    attn+ff residual. Supports int8 {"q","s"} caches."""
+    import math as _math
+
+    B, K = toks.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    rd = cfg.rotary_dim or hd
+    Lmax = step_mask.shape[1]
+    kv8 = isinstance(k_cache, dict)
+    x = params["wte"][toks]  # (B, K, H)
+    j = jnp.arange(Lmax)[None, None, :]
+    ti = tstart[:, None, None] + jnp.arange(K)[None, :, None]  # (B, K, 1)
+    causal = j <= ti
+    brange = jnp.arange(B)[:, None]
+    slots = tstart[:, None] + jnp.arange(K)[None, :]  # (B, K)
+    sin_pr = jnp.take(sin_all, slots, axis=0)  # (B, K, rd)
+    cos_pr = jnp.take(cos_all, slots, axis=0)
+
+    def rot(x):  # x: (B, K, nh, rd); per-row per-position tables
+        s = sin_pr[:, :, None, :].astype(x.dtype)
+        c = cos_pr[:, :, None, :].astype(x.dtype)
+        return x * c + _rotate_every_two(x) * s
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = linear(lp["attn"]["q_proj"], ln).reshape(B, K, nh, hd)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, K, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, K, nh, hd)
+        q = jnp.concatenate([rot(q[..., :rd]), q[..., rd:]], -1)
+        k = jnp.concatenate([rot(k[..., :rd]), k[..., rd:]], -1)
+        if kv8:
+            ks = jnp.maximum(jnp.max(jnp.abs(k.astype(jnp.float32)), -1),
+                             1e-8) * (1.0 / 127.0)
+            vs = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32)), -1),
+                             1e-8) * (1.0 / 127.0)
+            kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks[..., None]),
+                          -127.0, 127.0).astype(jnp.int8)
+            vq = jnp.clip(jnp.round(v.astype(jnp.float32) / vs[..., None]),
+                          -127.0, 127.0).astype(jnp.int8)
+            kc = {"q": kc["q"].at[brange, :, slots, :].set(kq),
+                  "s": kc["s"].at[brange, :, slots].set(ks)}
+            vc = {"q": vc["q"].at[brange, :, slots, :].set(vq),
+                  "s": vc["s"].at[brange, :, slots].set(vs)}
+            w = jnp.einsum("bqhd,bhjd->bhqj", q.astype(jnp.float32),
+                           kc["q"].astype(jnp.float32),
+                           preferred_element_type=jnp.float32
+                           ) * kc["s"][:, :, None, :]
+        else:
+            kc = kc.at[brange, :, slots, :].set(k)
+            vc = vc.at[brange, :, slots, :].set(v)
+            w = jnp.einsum("bqhd,bhjd->bhqj", q.astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        # causal fill, THEN scale, THEN additive pad mask (gptj.py:180-184)
+        w = jnp.where(causal[:, None], w, NEG_BIAS)
+        w = w / _math.sqrt(hd)
+        w = w + (1.0 - step_mask)[:, None, None, :] * NEG_PAD
+        if kv8:
+            p = jax.nn.softmax(w, axis=-1) * vc["s"][:, :, None, :]
+            ctx = jnp.einsum("bhqj,bhjd->bqhd", p,
+                             vc["q"].astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+        else:
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhqj,bhjd->bqhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
+        attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, K, nh * hd))
+        ff = linear(lp["mlp"]["fc_out"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["fc_in"], ln)))
+        return attn_out + ff + h, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer, x, (params["layers"], k_cache, v_cache))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    return k_cache, v_cache, logits
+
+
+def gptj_speculative_cached(params, cfg, vt, *, video, video_mask,
+                            input_ids, attention_mask,
+                            max_new_tokens: int, n_draft: int = 7,
+                            eos_token_id=None, pad_token_id: int = 0,
+                            kv_int8: bool = False,
+                            return_stats: bool = False):
+    """Greedy decode with prompt-lookup speculative verification — the
+    GPT-J twin of gptneo_speculative_cached (see there and
+    ops/speculative.py for the scheme). Token-EXACT vs
+    gptj_greedy_cached; each lax.while_loop iteration emits
+    1 + accepted-draft tokens for the weight traffic of one step."""
+    from frozenbilm_tpu.ops.speculative import (accept_greedy, lookup_draft,
+                                                mask_after_eos)
+
+    B, T = input_ids.shape
+    K = n_draft + 1
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + max_new_tokens + K
+    rd = cfg.rotary_dim or cfg.head_dim
+
+    out_fwd = gptj_forward(params, cfg, vt, input_ids, attention_mask, video,
+                           video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens + K), (0, 0)]
+    k_cache = jnp.pad(out_fwd.kv[0], pad)
+    v_cache = jnp.pad(out_fwd.kv[1], pad)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.pad(full_am.astype(jnp.float32),
+                       [(0, 0), (0, max_new_tokens + K)])
+    sin_np, cos_np = _rotary_sincos(Lmax, rd)
+    sin_all, cos_all = jnp.asarray(sin_np), jnp.asarray(cos_np)
+
+    first = jnp.argmax(out_fwd.logits[:, -1, :].astype(jnp.float32), -1)
+    first = first.astype(input_ids.dtype)
+    out = jnp.full((B, max_new_tokens), pad_token_id, input_ids.dtype)
+    out = out.at[:, 0].set(first)
+    unfinished = (first != eos_token_id) if eos_token_id is not None else (
+        jnp.ones((B,), bool))
+    n0 = jnp.ones((B,), jnp.int32)
+    plen = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    l2_0 = jnp.take_along_axis(
+        input_ids, jnp.maximum(plen - 1, 0)[:, None], axis=1)[:, 0]
+    gen_idx = jnp.arange(max_new_tokens)[None, :]
+    jj = jnp.arange(Lmax)[None, :]
+    kk = jnp.arange(K)[None, :]
+
+    def cond(carry):
+        _, _, _, _, n, _, _, unf, _ = carry
+        return jnp.any(unf & (n < max_new_tokens))
+
+    def body(carry):
+        kc, vc, km, out, n, l1, l2, unf, iters = carry
+        active = unf & (n < max_new_tokens)
+        hist = jnp.concatenate([input_ids, out], axis=1)
+        hvalid = jnp.concatenate(
+            [attention_mask.astype(bool), gen_idx < n[:, None]], axis=1)
+        drafts = lookup_draft(hist, hvalid, l2, l1, K - 1)
+        u = jnp.concatenate([l1[:, None], drafts], axis=1)
+        t = L0 + n - 1
+        step_mask = jnp.maximum(
+            km, ((jj >= t[:, None]) & (jj < (t + K)[:, None])).astype(km.dtype))
+        kc, vc, logits = _decode_many(params, cfg, kc, vc, step_mask, u, t,
+                                      sin_all, cos_all)
+        preds = jnp.argmax(logits, axis=-1).astype(out.dtype)
+        emitted, n_emit = accept_greedy(preds, drafts)
+        n_emit = jnp.where(active, n_emit, 0)
+        if eos_token_id is not None:
+            emitted, n_emit, unf = mask_after_eos(
+                emitted, n_emit, unf, eos_token_id, pad_token_id)
+        cols = jnp.where(kk < n_emit[:, None], n[:, None] + kk,
+                         max_new_tokens)
+        out = out.at[jnp.arange(B)[:, None], cols].set(emitted, mode="drop")
+        km = jnp.maximum(
+            km, ((jj >= t[:, None]) & (jj < (t + n_emit)[:, None])
+                 ).astype(km.dtype))
+        e_last = jnp.take_along_axis(
+            emitted, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
+        e_prev = jnp.take_along_axis(
+            emitted, jnp.maximum(n_emit - 2, 0)[:, None], axis=1)[:, 0]
+        new_l1 = jnp.where(n_emit >= 1, e_last, l1)
+        new_l2 = jnp.where(n_emit >= 2, e_prev,
+                           jnp.where(n_emit == 1, l1, l2))
+        n = jnp.minimum(n + n_emit, max_new_tokens)
+        return kc, vc, km, out, n, new_l1, new_l2, unf, iters + 1
+
+    carry = (k_cache, v_cache, key_mask, out, n0, first, l2_0, unfinished,
+             jnp.zeros((), jnp.int32))
+    carry = jax.lax.while_loop(cond, body, carry)
+    ids_out = jnp.concatenate([input_ids, carry[3]], axis=1)
+    if return_stats:
+        return ids_out, {"steps": carry[8], "emitted": carry[4]}
+    return ids_out
+
+
 def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                        attention_mask, max_new_tokens: int,
                        eos_token_id: Optional[int] = None,

@@ -394,6 +394,207 @@ def _decode_one(params, cfg, k_cache, v_cache, key_mask, tok, t, pos, is_local):
     return k_cache, v_cache, key_mask, logits
 
 
+def _decode_many(params, cfg, k_cache, v_cache, step_mask, toks, tstart,
+                 pos_start, is_local):
+    """K-token cached verify step with PER-ROW positions (speculative
+    decoding): toks (B, K) are written at cache slots
+    tstart[b] .. tstart[b]+K-1 (row-wise scatter — rows advance at
+    different rates once acceptance diverges), and query i of row b
+    attends causally at absolute slot tstart[b]+i. step_mask (B, Lmax)
+    must already mark the K in-flight slots valid; per-query causality
+    keeps draft j from seeing draft i > j. Returns
+    (k_cache, v_cache, logits (B, K, V)).
+
+    Weight traffic equals ONE single-token step — that is the whole
+    speculative bet on a bandwidth-bound decode. Supports int8 {"q","s"}
+    caches like _decode_one."""
+    B, K = toks.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    Lmax = step_mask.shape[1]
+    kv8 = isinstance(k_cache, dict)
+    pos = pos_start[:, None] + jnp.arange(K)[None, :]  # (B, K)
+    x = params["wte"][toks] + params["wpe"][pos]       # (B, K, H)
+    j = jnp.arange(Lmax)[None, None, :]
+    ti = tstart[:, None, None] + jnp.arange(K)[None, :, None]  # (B, K, 1)
+    causal = j <= ti
+    local = causal & (j > ti - cfg.window_size)
+    brange = jnp.arange(B)[:, None]
+    slots = tstart[:, None] + jnp.arange(K)[None, :]   # (B, K)
+
+    def layer(h, xs):
+        lp, kc, vc, local_flag = xs
+        ln = layer_norm(lp["ln_1"], h, cfg.layer_norm_epsilon)
+        q = linear(lp["attn"]["q_proj"], ln).reshape(B, K, nh, hd)
+        k = linear(lp["attn"]["k_proj"], ln).reshape(B, K, nh, hd)
+        v = linear(lp["attn"]["v_proj"], ln).reshape(B, K, nh, hd)
+        if kv8:
+            ks = jnp.maximum(jnp.max(jnp.abs(k.astype(jnp.float32)), -1),
+                             1e-8) * (1.0 / 127.0)
+            vs = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32)), -1),
+                             1e-8) * (1.0 / 127.0)
+            kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks[..., None]),
+                          -127.0, 127.0).astype(jnp.int8)
+            vq = jnp.clip(jnp.round(v.astype(jnp.float32) / vs[..., None]),
+                          -127.0, 127.0).astype(jnp.int8)
+            kc = {"q": kc["q"].at[brange, :, slots, :].set(kq),
+                  "s": kc["s"].at[brange, :, slots].set(ks)}
+            vc = {"q": vc["q"].at[brange, :, slots, :].set(vq),
+                  "s": vc["s"].at[brange, :, slots].set(vs)}
+            w = jnp.einsum("bqhd,bhjd->bhqj", q.astype(jnp.float32),
+                           kc["q"].astype(jnp.float32),
+                           preferred_element_type=jnp.float32
+                           ) * kc["s"][:, :, None, :]
+        else:
+            kc = kc.at[brange, :, slots, :].set(k)
+            vc = vc.at[brange, :, slots, :].set(v)
+            w = jnp.einsum("bqhd,bhjd->bhqj", q.astype(jnp.float32),
+                           kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        allowed = jnp.where(local_flag, local, causal)  # (B, K, Lmax)
+        w = jnp.where(allowed[:, None], w, NEG_BIAS)  # unscaled
+        w = w + (1.0 - step_mask)[:, None, None, :] * NEG_PAD
+        if kv8:
+            p = jax.nn.softmax(w, axis=-1) * vc["s"][:, :, None, :]
+            ctx = jnp.einsum("bhqj,bhjd->bqhd", p,
+                             vc["q"].astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+        else:
+            p = jax.nn.softmax(w, axis=-1).astype(vc.dtype)
+            ctx = jnp.einsum("bhqj,bhjd->bqhd", p, vc,
+                             preferred_element_type=jnp.float32).astype(vc.dtype)
+        attn_out = linear(lp["attn"]["out_proj"], ctx.reshape(B, K, nh * hd))
+        h = h + attn_out
+        h2 = layer_norm(lp["ln_2"], h, cfg.layer_norm_epsilon)
+        ff = linear(lp["mlp"]["c_proj"],
+                    ACT2FN[cfg.hidden_act](linear(lp["mlp"]["c_fc"], h2)))
+        return h + ff, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer, x, (params["layers"], k_cache, v_cache, is_local))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = linear(params["lm_head"], x).astype(jnp.float32)
+    return k_cache, v_cache, logits
+
+
+def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
+                              input_ids, attention_mask,
+                              max_new_tokens: int, n_draft: int = 7,
+                              eos_token_id: Optional[int] = None,
+                              pad_token_id: int = 0,
+                              kv_int8: bool = False,
+                            return_stats: bool = False):
+    """Greedy decode with prompt-lookup speculative verification
+    (ops/speculative.py): each lax.while_loop iteration proposes n_draft
+    continuation tokens by bigram lookup over [prompt || generated], feeds
+    [last_token, draft] through ONE cached (n_draft+1)-token forward
+    (_decode_many — weight traffic of a single step), and keeps the
+    longest prefix of drafts that equals the model's own argmax plus one
+    bonus token. Output is token-EXACT vs gptneo_greedy_cached; rows
+    advance at their own acceptance rate (per-row cache slots/positions).
+
+    The reference's vendored generate has no speculative mode; this is a
+    TPU-native serving extension (greedy only — sampled acceptance would
+    need the rejection-sampling correction).
+    """
+    from frozenbilm_tpu.ops.speculative import (accept_greedy, lookup_draft,
+                                                mask_after_eos)
+
+    B, T = input_ids.shape
+    K = n_draft + 1
+    use_video = vt.features_dim and video is not None
+    delay = vt.max_feats if use_video else 0
+    L0 = delay + T
+    Lmax = L0 + max_new_tokens + K  # rejected tails are overwritten in place
+
+    out_fwd = _forward_with_genpos(params, cfg, vt, input_ids, attention_mask,
+                                   video, video_mask, return_kv=True)
+    pad = [(0, 0), (0, 0), (0, 0), (0, max_new_tokens + K), (0, 0)]
+    k_cache = jnp.pad(out_fwd.kv[0], pad)
+    v_cache = jnp.pad(out_fwd.kv[1], pad)
+    if kv_int8:
+        from frozenbilm_tpu.ops.quant import kv_quantize
+
+        k_cache, v_cache = kv_quantize(k_cache), kv_quantize(v_cache)
+    if use_video:
+        vm = video_mask if video_mask is not None else jnp.ones((B, delay), jnp.int32)
+        full_am = jnp.concatenate([vm.astype(attention_mask.dtype), attention_mask], 1)
+    else:
+        full_am = attention_mask
+    key_mask = jnp.pad(full_am.astype(jnp.float32),
+                       [(0, 0), (0, max_new_tokens + K)])
+    pos0 = jnp.sum(full_am, axis=1).astype(jnp.int32)  # (B,)
+    is_local = jnp.asarray([t == "local" for t in cfg.attention_types])
+
+    first = jnp.argmax(out_fwd.logits[:, -1, :].astype(jnp.float32), -1)
+    first = first.astype(input_ids.dtype)
+    out = jnp.full((B, max_new_tokens), pad_token_id, input_ids.dtype)
+    out = out.at[:, 0].set(first)
+    unfinished = (first != eos_token_id) if eos_token_id is not None else (
+        jnp.ones((B,), bool))
+    n0 = jnp.ones((B,), jnp.int32)
+    # trailing bigram: (last valid prompt token, first)
+    plen = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    l2_0 = jnp.take_along_axis(
+        input_ids, jnp.maximum(plen - 1, 0)[:, None], axis=1)[:, 0]
+    gen_idx = jnp.arange(max_new_tokens)[None, :]
+    jj = jnp.arange(Lmax)[None, :]
+    kk = jnp.arange(K)[None, :]
+
+    def cond(carry):
+        _, _, _, _, n, _, _, unf, _ = carry
+        return jnp.any(unf & (n < max_new_tokens))
+
+    def body(carry):
+        kc, vc, km, out, n, l1, l2, unf, iters = carry
+        active = unf & (n < max_new_tokens)
+        hist = jnp.concatenate([input_ids, out], axis=1)
+        hvalid = jnp.concatenate(
+            [attention_mask.astype(bool), gen_idx < n[:, None]], axis=1)
+        drafts = lookup_draft(hist, hvalid, l2, l1, K - 1)
+        u = jnp.concatenate([l1[:, None], drafts], axis=1)  # (B, K)
+        t = L0 + n - 1  # (B,) per-row write start
+        step_mask = jnp.maximum(
+            km, ((jj >= t[:, None]) & (jj < (t + K)[:, None])).astype(km.dtype))
+        kc, vc, logits = _decode_many(params, cfg, kc, vc, step_mask, u, t,
+                                      pos0 + n - 1, is_local)
+        preds = jnp.argmax(logits, axis=-1).astype(out.dtype)  # (B, K)
+        emitted, n_emit = accept_greedy(preds, drafts)
+        n_emit = jnp.where(active, n_emit, 0)
+        if eos_token_id is not None:
+            emitted, n_emit, unf = mask_after_eos(
+                emitted, n_emit, unf, eos_token_id, pad_token_id)
+        # scatter the emitted run into the output buffer (cols past
+        # max_new or past n_emit are dropped)
+        cols = jnp.where(kk < n_emit[:, None], n[:, None] + kk,
+                         max_new_tokens)
+        out = out.at[jnp.arange(B)[:, None], cols].set(emitted, mode="drop")
+        # persist validity for the accepted slots t .. t+n_emit-1
+        km = jnp.maximum(
+            km, ((jj >= t[:, None]) & (jj < (t + n_emit)[:, None])
+                 ).astype(km.dtype))
+        # new trailing bigram from the post-eos-mask emission (greedy
+        # feeds pad after eos; matching it keeps cache content aligned)
+        e_last = jnp.take_along_axis(
+            emitted, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
+        e_prev = jnp.take_along_axis(
+            emitted, jnp.maximum(n_emit - 2, 0)[:, None], axis=1)[:, 0]
+        new_l1 = jnp.where(n_emit >= 1, e_last, l1)
+        new_l2 = jnp.where(n_emit >= 2, e_prev,
+                           jnp.where(n_emit == 1, l1, l2))
+        n = jnp.minimum(n + n_emit, max_new_tokens)
+        return kc, vc, km, out, n, new_l1, new_l2, unf, iters + 1
+
+    carry = (k_cache, v_cache, key_mask, out, n0, first, l2_0, unfinished,
+             jnp.zeros((), jnp.int32))
+    carry = jax.lax.while_loop(cond, body, carry)
+    ids_out = jnp.concatenate([input_ids, carry[3]], axis=1)
+    if return_stats:
+        # (verify steps taken, per-row emitted counts) — emitted/steps is
+        # the realized acceptance rate the speculative bet depends on
+        return ids_out, {"steps": carry[8], "emitted": carry[4]}
+    return ids_out
+
+
 def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
                          attention_mask, max_new_tokens: int,
                          eos_token_id: Optional[int] = None,

@@ -202,6 +202,10 @@ class GenService:
         eos = self.tokenizer.eos_token_id
         self.eos = eos
         self.num_beams = getattr(args, "serve_num_beams", 1)
+        self.n_spec = getattr(args, "serve_speculative", 0)
+        if self.n_spec and self.num_beams > 1:
+            raise ValueError("--serve_speculative is greedy-only; it cannot "
+                             "combine with --serve_num_beams > 1")
 
         if self.num_beams > 1:
             # beam mode is deterministic (HF is_beam_gen_mode applies no
@@ -226,6 +230,27 @@ class GenService:
 
             def gen(params, ids, am, video, vm, temps, rng):
                 return _jb(params, ids, am, video, vm)
+
+            self._gen = gen
+        elif self.n_spec:
+            # prompt-lookup speculative greedy (ops/speculative.py): exact
+            # greedy tokens, fewer weight-read steps. Deterministic like
+            # beam mode — per-request temperature is rejected by validate()
+            # — so the jitted callable takes only what the program uses
+            # (same dropped-argument fastpath hazard as the beam branch).
+            def spec_only(params, ids, am, video, vm):
+                return bundle.speculative(
+                    params, bundle.cfg, bundle.vt, video=video, video_mask=vm,
+                    input_ids=ids, attention_mask=am,
+                    max_new_tokens=self.max_new, n_draft=self.n_spec,
+                    eos_token_id=eos,
+                    pad_token_id=eos if eos is not None else 0,
+                    kv_int8=bool(getattr(args, "serve_kv_int8", 0)))
+
+            _js = jax.jit(spec_only)
+
+            def gen(params, ids, am, video, vm, temps, rng):
+                return _js(params, ids, am, video, vm)
 
             self._gen = gen
         else:
@@ -261,6 +286,10 @@ class GenService:
             raise ValueError(
                 f"server decodes with num_beams={self.num_beams}; "
                 "per-request num_beams must match it (or be 1)")
+        if getattr(self, "n_spec", 0) and t:
+            raise ValueError(
+                "server decodes speculatively (greedy-exact); per-request "
+                "'temperature' is not applicable (omit it or send 0)")
         if self.num_beams > 1 and t:
             # beam decode is deterministic (no warpers without do_sample,
             # reference gptneo.py:1294-1333) — reject rather than silently
@@ -477,6 +506,11 @@ def get_serve_parser():
                         help="AR serving: top-k sampling filter (0 = off)")
     parser.add_argument("--serve_top_p", type=float, default=1.0,
                         help="AR serving: nucleus sampling mass (1 = off)")
+    parser.add_argument("--serve_speculative", type=int, default=0,
+                        help="prompt-lookup speculative greedy decoding "
+                             "with this many draft tokens per verify step "
+                             "(0 = off; greedy-exact output, fewer "
+                             "weight-read steps — ops/speculative.py)")
     parser.add_argument("--serve_kv_int8", type=int, default=0,
                         help="store the decode KV cache in int8 with "
                              "per-vector scales (ops/quant.kv_quantize) — "

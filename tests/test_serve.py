@@ -239,6 +239,49 @@ def test_serve_generate_beam(gen_env):
         server.shutdown()
 
 
+def test_serve_generate_speculative(gen_env):
+    """--serve_speculative: greedy-EXACT tokens (compare against a plain
+    greedy server on the same prompt), temperature rejected pre-batch."""
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    base = [
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b",
+        "--tokenizer_path", str(gen_env),
+        "--features_dim", "16", "--max_feats", "4", "--max_tokens", "16",
+        "--batch_size_val", "2", "--serve_host", "127.0.0.1", "--port", "0",
+        "--serve_max_new_tokens", "6",
+    ]
+
+    def run_one(extra, payloads):
+        args = get_serve_parser().parse_args(base + extra)
+        server = build_server(args)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        outs = []
+        try:
+            for p in payloads:
+                req = urllib.request.Request(
+                    f"{url}/generate", json.dumps(p).encode(),
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as r:
+                        outs.append((r.status, json.loads(r.read())))
+                except urllib.error.HTTPError as e:
+                    outs.append((e.code, json.loads(e.read())))
+        finally:
+            server.shutdown()
+        return outs
+
+    payloads = [{"prompt": "a dog sits"}, {"prompt": "x", "temperature": 1.0}]
+    spec = run_one(["--serve_speculative", "4"], payloads)
+    greedy = run_one([], payloads[:1])
+    assert spec[0][0] == 200 and greedy[0][0] == 200
+    assert spec[0][1]["tokens"] == greedy[0][1]["tokens"]  # greedy-exact
+    assert spec[1][0] == 400 and "temperature" in spec[1][1]["error"]
+
+
 def test_serve_quantized(serve_env):
     server, url = _server(serve_env, extra=["--quantize", "w8a8"])
     try:
