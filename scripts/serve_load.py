@@ -4,7 +4,8 @@ req/s per (endpoint, precision, batching window).
 
 Configurations:
   - /qa      deberta-v2-xlarge 0.9B, bf16 and w8a8, windows {2, 10, 25} ms
-  - /generate gpt-neo-1.3B KV-cache greedy, bf16, window 10 ms
+  - /generate gpt-neo-1.3B KV-cache greedy: bf16, w8a8, w4+int8-KV, and
+    prompt-lookup speculative, window 10 ms
 
 Tokenizers are toy vocabs (real SPM/BPE assets are network-blocked, see
 ACCURACY.md); model dims, batch shapes, request payloads (10x768 video
@@ -223,6 +224,12 @@ def main():
     gen_variants = [("bf16", [])]
     if not SMALL:
         gen_variants.append(("int8", ["--quantize", "w8a8"]))
+        # minimum-bytes decode: int4 weights + int8 KV cache
+        gen_variants.append(("w4kv8", ["--quantize", "w4",
+                                       "--serve_kv_int8", "1"]))
+        # prompt-lookup speculative greedy (token-exact; acceptance on
+        # these synthetic prompts is the pessimistic regime)
+        gen_variants.append(("spec", ["--serve_speculative", "7"]))
     for variant, extra in gen_variants:
         server, url = _serve(base_gen + extra)
         try:
