@@ -29,6 +29,8 @@ copy /tmp/mc_bucket_ab.json       mc_bucket_ab_r3.json
 if [ -f /tmp/serve_load_r3.json ]; then
   if grep -q '"small": true' /tmp/serve_load_r3.json; then
     echo "REFUSING serve_load_r3.json: small-mode (CPU smoke) stamp"
+  elif ! grep -qi '"device_kind": *"[^"]*TPU' /tmp/serve_load_r3.json; then
+    echo "REFUSING serve_load_r3.json: no TPU device_kind stamp"
   else
     cp /tmp/serve_load_r3.json "$DEST/serve_load_r3.json"
     echo "harvested serve_load_r3.json"
