@@ -1,0 +1,386 @@
+"""In-flight (continuous) batching engine for the GPT decode path.
+
+The reference stops at whole-batch generation (its vendored generate,
+gptneo.py:850-1726, decodes one fixed batch to completion); tasks/serve.py's
+window batcher inherited that shape: requests that arrive while a batch is
+decoding wait for the WHOLE batch to finish. This module removes that
+head-of-line blocking with a vLLM-style slot engine, restructured for
+TPU/XLA static shapes:
+
+  - a pooled KV cache of S slots x Lmax positions lives on device between
+    calls — (n_layers, S, nh, Lmax, hd), or int8 {"q","s"} pools;
+  - ONE compiled single-token step advances all S slots together via the
+    per-row-position decoder (models/gptneo._decode_many with K=1 — rows
+    sit at different depths, so cache writes are per-row scatters); steps
+    run in chunks of C inside one lax.scan to amortize dispatch over the
+    remote-TPU link;
+  - admission = one compiled prefill-and-insert program per (prompt-bucket,
+    has-video): forward the new prompt once, dynamic_update_slice its
+    prefix KV into the free slot, reset that slot's key-mask row, select
+    the first token.  No other slot is touched, so admission composes with
+    rows mid-generation;
+  - retirement is host-side bookkeeping: a row that emits eos (or exhausts
+    its max_new_tokens budget) frees its slot at the next chunk boundary;
+    the stale cache cells are left in place — the next admission overwrites
+    the prefix range and the key-mask row masks everything else.
+
+Greedy rows are token-EXACT vs gptneo/gptj_greedy_cached on the same
+left-padded prompt (tests/test_inflight.py); sampled rows ride per-row
+temperatures (ops/sampling.select_token) with an engine-step rng stream.
+
+Shapes are all static: S (slots), Lmax (pool length), C (chunk), and the
+prompt buckets each compile once; everything else (slot index, per-row
+depth t, positions) is dynamic data.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bucket_for(n: int, buckets) -> Optional[int]:
+    for b in buckets:
+        if n <= b:
+            return b
+    return None
+
+
+class InflightEngine:
+    """Slot-based continuous batching over a pooled KV cache.
+
+    Host-side protocol: `submit()` enqueues a request and returns a
+    one-shot queue; `step_once()` admits waiting requests into free slots,
+    runs one C-token decode chunk for every active slot, and retires
+    finished rows (putting `{"tokens": [...]}` on their queues). A serving
+    loop calls `step_once()` forever; tests call `drain()`.
+    """
+
+    def __init__(self, params, cfg, vt, family: str, *, slots: int = 8,
+                 max_len: int = 512, chunk: int = 4,
+                 prompt_buckets=(16, 32, 64, 128),
+                 eos_token_id: Optional[int] = None, pad_token_id: int = 0,
+                 top_k: int = 0, top_p: float = 1.0, kv_int8: bool = False,
+                 rng_seed: int = 0):
+        if family not in ("gptneo", "gptj"):
+            raise ValueError(f"in-flight engine supports GPT families, got {family}")
+        self.params = params
+        self.cfg, self.vt = cfg, vt
+        self.family = family
+        self.S, self.Lmax, self.C = int(slots), int(max_len), int(chunk)
+        self.buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        self.eos = eos_token_id
+        self.pad = int(pad_token_id)
+        self.top_k, self.top_p = int(top_k), float(top_p)
+        self.kv_int8 = bool(kv_int8)
+        self._rng = jax.random.key(rng_seed)
+        self._step_ctr = 0
+
+        if family == "gptneo":
+            self._is_local = jnp.asarray(
+                [t == "local" for t in cfg.attention_types])
+            self._sincos = None
+        else:
+            from frozenbilm_tpu.models.gptj import _rotary_sincos
+
+            rd = cfg.rotary_dim or cfg.head_dim
+            sin_np, cos_np = _rotary_sincos(self.Lmax, rd)
+            self._sincos = (jnp.asarray(sin_np), jnp.asarray(cos_np))
+
+        self.state = self._init_state()
+        self._admit_cache: Dict = {}
+        self._step_fn = self._make_step()
+
+        # host bookkeeping
+        self._waiting: "queue.Queue" = queue.Queue()
+        self._slots: List[Optional[Dict]] = [None] * self.S
+        self._active = np.zeros(self.S, dtype=bool)
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "steps": 0, "tokens": 0,
+                      "occupancy_sum": 0, "admissions": 0}
+
+    # -- device state -----------------------------------------------------
+
+    def _cache_dtype(self):
+        return jax.tree_util.tree_leaves(self.params)[0].dtype
+
+    def _init_state(self):
+        cfg, S, L = self.cfg, self.S, self.Lmax
+        nh, hd = cfg.num_heads, cfg.head_dim
+        nl = cfg.num_layers
+        dt = self._cache_dtype()
+        if self.kv_int8:
+            def pool():
+                return {"q": jnp.zeros((nl, S, nh, L, hd), jnp.int8),
+                        "s": jnp.zeros((nl, S, nh, L), jnp.float32)}
+            k, v = pool(), pool()
+        else:
+            k = jnp.zeros((nl, S, nh, L, hd), dt)
+            v = jnp.zeros((nl, S, nh, L, hd), dt)
+        return {
+            "k": k, "v": v,
+            "mask": jnp.zeros((S, L), jnp.float32),
+            "cur": jnp.zeros((S,), jnp.int32),
+            "t": jnp.zeros((S,), jnp.int32),
+            "pos": jnp.zeros((S,), jnp.int32),
+            "unfinished": jnp.zeros((S,), bool),
+            "temps": jnp.zeros((S,), jnp.float32),
+        }
+
+    # -- compiled programs -------------------------------------------------
+
+    def _prefill(self, params, ids, am, video, vmask):
+        """Family-dispatched prefix forward (same prefill the whole-batch
+        decoders use: gptneo.py _forward_with_genpos / gptj_forward with
+        return_kv). params is threaded (never closed over) so jit traces it
+        as an argument, not a baked-in constant."""
+        if self.family == "gptneo":
+            from frozenbilm_tpu.models.gptneo import _forward_with_genpos
+
+            return _forward_with_genpos(params, self.cfg, self.vt, ids,
+                                        am, video, vmask, return_kv=True)
+        from frozenbilm_tpu.models.gptj import gptj_forward
+
+        return gptj_forward(params, self.cfg, self.vt, ids, am, video,
+                            vmask, return_kv=True)
+
+    def _make_admit(self, has_video: bool):
+        """One jitted admission program per (bucket, has_video) — the bucket
+        is baked in by the (1, Tb) ids shape. Donates the pooled state."""
+        from frozenbilm_tpu.ops.sampling import select_token
+
+        eos, pad = self.eos, self.pad
+        Lmax = self.Lmax
+
+        def admit(params, state, slot, ids, am, video, vmask, temp, rng):
+            out = self._prefill(params, ids, am, video, vmask)
+            kv_k, kv_v = out.kv  # (nl, 1, nh, T0, hd)
+            if has_video:
+                full_am = jnp.concatenate(
+                    [vmask.astype(am.dtype), am], axis=1)
+            else:
+                full_am = am
+            first = select_token(out.logits[:, -1, :], rng,
+                                 temperature=temp, top_k=self.top_k,
+                                 top_p=self.top_p)  # (1,)
+            if self.kv_int8:
+                from frozenbilm_tpu.ops.quant import kv_quantize
+
+                kq, vq = kv_quantize(kv_k), kv_quantize(kv_v)
+                k = {"q": jax.lax.dynamic_update_slice(
+                         state["k"]["q"], kq["q"], (0, slot, 0, 0, 0)),
+                     "s": jax.lax.dynamic_update_slice(
+                         state["k"]["s"], kq["s"], (0, slot, 0, 0))}
+                v = {"q": jax.lax.dynamic_update_slice(
+                         state["v"]["q"], vq["q"], (0, slot, 0, 0, 0)),
+                     "s": jax.lax.dynamic_update_slice(
+                         state["v"]["s"], vq["s"], (0, slot, 0, 0))}
+            else:
+                dt = state["k"].dtype
+                k = jax.lax.dynamic_update_slice(
+                    state["k"], kv_k.astype(dt), (0, slot, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    state["v"], kv_v.astype(dt), (0, slot, 0, 0, 0))
+            T0 = kv_k.shape[3]
+            row = jnp.pad(full_am.astype(jnp.float32),
+                          [(0, 0), (0, Lmax - T0)])
+            mask = jax.lax.dynamic_update_slice(state["mask"], row, (slot, 0))
+            unf0 = (first[0] != eos) if eos is not None else jnp.asarray(True)
+            new = {
+                "k": k, "v": v, "mask": mask,
+                "cur": state["cur"].at[slot].set(first[0].astype(jnp.int32)),
+                "t": state["t"].at[slot].set(jnp.int32(T0)),
+                "pos": state["pos"].at[slot].set(
+                    jnp.sum(full_am).astype(jnp.int32)),
+                "unfinished": state["unfinished"].at[slot].set(unf0),
+                "temps": state["temps"].at[slot].set(temp[0]),
+            }
+            return new, first[0]
+
+        return jax.jit(admit, donate_argnums=(1,))
+
+    def _make_step(self):
+        """The compiled engine heartbeat: C single-token steps over all S
+        slots in one lax.scan. Rows where `unfinished & active` is False are
+        frozen (t/pos/mask untouched, pad emitted) so free and finished
+        slots neither corrupt the pool nor change live rows' numerics."""
+        from frozenbilm_tpu.ops.sampling import select_token
+
+        cfg = self.cfg
+        eos, pad, C, Lmax = self.eos, self.pad, self.C, self.Lmax
+
+        if self.family == "gptneo":
+            from frozenbilm_tpu.models.gptneo import _decode_many as _dm
+
+            def decode1(params, k, v, mask, cur, t, pos):
+                return _dm(params, cfg, k, v, mask, cur[:, None], t,
+                           pos, self._is_local)
+        else:
+            from frozenbilm_tpu.models.gptj import _decode_many as _dm
+
+            def decode1(params, k, v, mask, cur, t, pos):
+                return _dm(params, cfg, k, v, mask, cur[:, None], t,
+                           self._sincos[0], self._sincos[1])
+
+        def step(params, state, active, rng, base):
+            temps = state["temps"]
+
+            def one(carry, i):
+                k, v, mask, cur, t, pos, unfinished = carry
+                live = unfinished & active
+                mask = jnp.where(
+                    live[:, None] & (jnp.arange(Lmax)[None, :] == t[:, None]),
+                    1.0, mask)
+                k, v, logits = decode1(params, k, v, mask, cur, t, pos)
+                r = jax.random.fold_in(rng, base + i)
+                nxt = select_token(logits[:, 0, :], r, temperature=temps,
+                                   top_k=self.top_k, top_p=self.top_p)
+                nxt = jnp.where(live, nxt, jnp.int32(pad)).astype(jnp.int32)
+                if eos is not None:
+                    unfinished = unfinished & (nxt != eos)
+                t = jnp.where(live, t + 1, t)
+                pos = jnp.where(live, pos + 1, pos)
+                return (k, v, mask, nxt, t, pos, unfinished), nxt
+
+            carry = (state["k"], state["v"], state["mask"], state["cur"],
+                     state["t"], state["pos"], state["unfinished"])
+            carry, toks = jax.lax.scan(one, carry, jnp.arange(C))
+            k, v, mask, cur, t, pos, unfinished = carry
+            new = {"k": k, "v": v, "mask": mask, "cur": cur, "t": t,
+                   "pos": pos, "unfinished": unfinished, "temps": temps}
+            return new, toks.T  # (S, C)
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    # -- host protocol ------------------------------------------------------
+
+    def submit(self, ids: np.ndarray, *, video: Optional[np.ndarray] = None,
+               max_new_tokens: int = 16,
+               temperature: float = 0.0) -> "queue.Queue":
+        """Enqueue one request. ids is the UNPADDED (T,) int prompt; it is
+        left-padded to the smallest bucket here (left so the prefill's
+        last-position logits sit on the final real token, matching the
+        whole-batch decoders). Returns a one-shot queue delivering
+        {"tokens": [...generated, eos included...]} or {"error": ...}."""
+        ticket: "queue.Queue" = queue.Queue(maxsize=1)
+        ids = np.asarray(ids, np.int32).reshape(-1)
+        b = _bucket_for(len(ids), self.buckets)
+        delay = self.vt.max_feats if (video is not None
+                                      and self.vt.features_dim) else 0
+        if b is None:
+            ticket.put({"error": f"prompt length {len(ids)} exceeds the "
+                                 f"largest bucket {self.buckets[-1]}"})
+            return ticket
+        if b + delay + int(max_new_tokens) > self.Lmax:
+            ticket.put({"error": f"bucket {b} + video {delay} + "
+                                 f"max_new_tokens {max_new_tokens} exceeds "
+                                 f"the {self.Lmax}-position cache"})
+            return ticket
+        padded = np.full(b, self.pad, np.int32)
+        am = np.zeros(b, np.int32)
+        padded[b - len(ids):] = ids
+        am[b - len(ids):] = 1
+        self._waiting.put({
+            "ids": padded, "am": am, "video": video,
+            "max_new": int(max_new_tokens),
+            "temperature": float(temperature), "ticket": ticket,
+            "out": [],
+        })
+        with self._lock:
+            self.stats["requests"] += 1
+        return ticket
+
+    def _admit_one(self, req) -> bool:
+        free = [i for i in range(self.S) if not self._active[i]]
+        if not free:
+            return False
+        slot = free[0]
+        b = len(req["ids"])
+        has_video = req["video"] is not None
+        key = (b, has_video)
+        if key not in self._admit_cache:
+            self._admit_cache[key] = self._make_admit(has_video)
+        ids = jnp.asarray(req["ids"][None, :])
+        am = jnp.asarray(req["am"][None, :])
+        if has_video:
+            video = jnp.asarray(np.asarray(req["video"], np.float32)[None])
+            vmask = jnp.ones((1, video.shape[1]), jnp.int32)
+        else:
+            video = vmask = None
+        temp = jnp.asarray([req["temperature"]], jnp.float32)
+        rng = jax.random.fold_in(self._rng, self._step_ctr)
+        self._step_ctr += 1
+        self.state, first = self._admit_cache[key](
+            self.params, self.state, np.int32(slot), ids, am, video, vmask,
+            temp, rng)
+        first = int(first)
+        self._slots[slot] = req
+        self._active[slot] = True
+        with self._lock:
+            self.stats["admissions"] += 1
+        self._emit(slot, [first])
+        return True
+
+    def _emit(self, slot: int, toks: List[int]):
+        """Append generated tokens to a slot's output; finish on eos or
+        budget exhaustion (eos kept, like the whole-batch decoders)."""
+        req = self._slots[slot]
+        if req is None:
+            return
+        for tok in toks:
+            req["out"].append(int(tok))
+            with self._lock:
+                self.stats["tokens"] += 1
+            done = (self.eos is not None and tok == self.eos) or \
+                len(req["out"]) >= req["max_new"]
+            if done:
+                req["ticket"].put({"tokens": req["out"]})
+                self._slots[slot] = None
+                self._active[slot] = False
+                return
+
+    def step_once(self) -> bool:
+        """One engine iteration: admit -> chunk-decode -> retire. Returns
+        True if any device work was dispatched."""
+        admitted = False
+        while not self._waiting.empty() and self._active.sum() < self.S:
+            try:
+                req = self._waiting.get_nowait()
+            except queue.Empty:
+                break
+            self._admit_one(req)
+            admitted = True
+        if not self._active.any():
+            return admitted
+        active = jnp.asarray(self._active)
+        rng = jax.random.fold_in(self._rng, 2 ** 20 + self._step_ctr)
+        self.state, toks = self._step_fn(self.params, self.state, active,
+                                         rng, np.int32(self._step_ctr))
+        self._step_ctr += self.C
+        toks = np.asarray(toks)  # (S, C)
+        with self._lock:
+            self.stats["steps"] += self.C
+            self.stats["occupancy_sum"] += int(self._active.sum()) * self.C
+        for slot in range(self.S):
+            if self._active[slot]:
+                self._emit(slot, toks[slot].tolist())
+        return True
+
+    def drain(self):
+        """Run until no queued or in-flight work remains (tests/CLI)."""
+        while not self._waiting.empty() or self._active.any():
+            self.step_once()
+
+    def run_forever(self, stop_event: threading.Event, idle_sleep: float = 0.002):
+        """Serving-loop thread target."""
+        import time
+
+        while not stop_event.is_set():
+            if not self.step_once() and not self._active.any():
+                time.sleep(idle_sleep)

@@ -1,0 +1,194 @@
+"""In-flight continuous batching engine (tasks/engine.py): greedy rows must
+be token-EXACT vs the whole-batch KV-cache decoders on the same left-padded
+prompt, across staggered admissions, mixed prompt buckets, slot reuse, eos
+early-exit, video prefixes, and the int8 KV pool. TPU-native extension (the
+reference's vendored generate, gptneo.py:850-1726, only decodes one fixed
+batch to completion)."""
+
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frozenbilm_tpu.config import GPTJConfig, GPTNeoConfig, VideoTextConfig
+from frozenbilm_tpu.tasks.engine import InflightEngine, _bucket_for
+
+
+def _toy_neo():
+    cfg = GPTNeoConfig(vocab_size=64, hidden_size=64, num_layers=2,
+                       num_heads=4, window_size=6,
+                       max_position_embeddings=128)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    from frozenbilm_tpu.models.gptneo import init_gptneo_params
+
+    params = init_gptneo_params(jax.random.PRNGKey(0), cfg, vt)
+    return cfg, vt, params
+
+
+def _toy_j():
+    cfg = GPTJConfig(vocab_size=64, hidden_size=64, num_layers=2,
+                     num_heads=4, rotary_dim=8, max_position_embeddings=128)
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=0,
+                         ds_factor_ff=0)
+    from frozenbilm_tpu.models.gptj import init_gptj_params
+
+    params = init_gptj_params(jax.random.PRNGKey(0), cfg, vt)
+    return cfg, vt, params
+
+
+def _reference_tokens(family, cfg, vt, params, ids, buckets, max_new, eos,
+                      video=None, kv_int8=False):
+    """Whole-batch greedy decode of ONE request at the engine's bucketed
+    padding; returns the generated region trimmed exactly as the engine
+    reports it (stop at eos inclusive, else max_new tokens)."""
+    if family == "gptneo":
+        from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached as dec
+    else:
+        from frozenbilm_tpu.models.gptj import gptj_greedy_cached as dec
+    b = _bucket_for(len(ids), buckets)
+    padded = np.zeros(b, np.int32)
+    am = np.zeros(b, np.int32)
+    padded[b - len(ids):] = ids
+    am[b - len(ids):] = 1
+    if video is not None:
+        v = jnp.asarray(np.asarray(video, np.float32)[None])
+        vm = jnp.ones((1, v.shape[1]), jnp.int32)
+    else:
+        v = vm = None
+    out = np.asarray(dec(params, cfg, vt, video=v, video_mask=vm,
+                         input_ids=jnp.asarray(padded[None]),
+                         attention_mask=jnp.asarray(am[None]),
+                         max_new_tokens=max_new, eos_token_id=eos,
+                         kv_int8=kv_int8))
+    gen = out[0, b:].tolist()
+    if eos is not None and eos in gen:
+        gen = gen[:gen.index(eos) + 1]
+    return gen
+
+
+def _get(ticket):
+    return ticket.get(timeout=5)
+
+
+def test_engine_matches_whole_batch_greedy_staggered():
+    """5 requests, 3 slots, staggered arrival: requests admitted mid-flight
+    into freed slots must decode exactly as a fresh whole-batch run."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(0)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=3, max_len=64,
+                         chunk=2, prompt_buckets=(8, 16), eos_token_id=None)
+    reqs = []
+    for i in range(5):
+        t = int(rng.integers(4, 14))
+        ids = rng.integers(3, 64, size=t).astype(np.int32)
+        reqs.append((ids, 5 + i))  # varied budgets -> varied finish times
+    tickets = []
+    # two up front, then admit the rest after the engine is mid-decode
+    for ids, mn in reqs[:2]:
+        tickets.append(eng.submit(ids, max_new_tokens=mn))
+    eng.step_once()
+    eng.step_once()
+    for ids, mn in reqs[2:]:
+        tickets.append(eng.submit(ids, max_new_tokens=mn))
+    eng.drain()
+    for (ids, mn), ticket in zip(reqs, tickets):
+        want = _reference_tokens("gptneo", cfg, vt, params, ids, eng.buckets,
+                                 mn, None)
+        got = _get(ticket)["tokens"]
+        assert got == want, (ids.tolist(), mn)
+    assert eng.stats["admissions"] == 5
+    # 5 requests through 3 slots forces at least one slot reuse
+    assert eng.stats["requests"] == 5
+
+
+def test_engine_eos_and_video_rows():
+    """eos early-exit rows free their slot and report up to eos inclusive;
+    video-prefix rows ride the same pool as text-only rows."""
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached
+
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(1)
+    ids = rng.integers(3, 64, size=6).astype(np.int32)
+    video = rng.normal(size=(4, 16)).astype(np.float32)
+    # pick an eos greedy actually emits mid-stream on the video row
+    b = 8
+    padded = np.zeros(b, np.int32)
+    am = np.zeros(b, np.int32)
+    padded[b - 6:] = ids
+    am[b - 6:] = 1
+    free = np.asarray(gptneo_greedy_cached(
+        params, cfg, vt, video=jnp.asarray(video[None]),
+        video_mask=jnp.ones((1, 4), jnp.int32),
+        input_ids=jnp.asarray(padded[None]),
+        attention_mask=jnp.asarray(am[None]), max_new_tokens=10,
+        eos_token_id=None))
+    eos = int(free[0, b + 3])
+
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=3, prompt_buckets=(8, 16), eos_token_id=eos)
+    t_video = eng.submit(ids, video=video, max_new_tokens=10)
+    ids2 = rng.integers(3, 64, size=10).astype(np.int32)
+    t_text = eng.submit(ids2, max_new_tokens=8)
+    eng.drain()
+    want_v = _reference_tokens("gptneo", cfg, vt, params, ids, eng.buckets,
+                               10, eos, video=video)
+    want_t = _reference_tokens("gptneo", cfg, vt, params, ids2, eng.buckets,
+                               8, eos)
+    got_v = _get(t_video)["tokens"]
+    got_t = _get(t_text)["tokens"]
+    assert got_v == want_v
+    assert got_t == want_t
+    assert got_v[-1] == eos and len(got_v) <= 10  # early exit happened
+
+
+def test_engine_gptj_and_kv_int8():
+    """GPT-J family + int8 KV pool: per-row rotary positions and the
+    quantized prefix insert must stay token-exact vs the whole-batch
+    kv_int8 decoder."""
+    cfg, vt, params = _toy_j()
+    rng = np.random.default_rng(2)
+    eng = InflightEngine(params, cfg, vt, "gptj", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8, 12), eos_token_id=None,
+                         kv_int8=True)
+    reqs = [(rng.integers(3, 64, size=int(n)).astype(np.int32), mn)
+            for n, mn in ((5, 6), (11, 7), (7, 5))]
+    tickets = [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs]
+    eng.drain()
+    for (ids, mn), ticket in zip(reqs, tickets):
+        want = _reference_tokens("gptj", cfg, vt, params, ids, eng.buckets,
+                                 mn, None, kv_int8=True)
+        assert _get(ticket)["tokens"] == want
+
+
+def test_engine_rejects_oversized_requests():
+    cfg, vt, params = _toy_neo()
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=32,
+                         chunk=2, prompt_buckets=(8, 16))
+    r = _get(eng.submit(np.arange(3, 25, dtype=np.int32)))  # 22 > 16
+    assert "error" in r
+    r = _get(eng.submit(np.arange(3, 9, dtype=np.int32), max_new_tokens=40))
+    assert "error" in r  # 8 + 40 > 32
+    eng.drain()  # nothing admitted; must return immediately
+
+
+def test_engine_sampled_rows_ride_with_greedy():
+    """Temperature rows sample (per-row temps on one compiled program) while
+    greedy rows in the same pool stay exact."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(3)
+    ids_g = rng.integers(3, 64, size=7).astype(np.int32)
+    ids_s = rng.integers(3, 64, size=7).astype(np.int32)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8,), eos_token_id=None,
+                         rng_seed=7)
+    tg = eng.submit(ids_g, max_new_tokens=6, temperature=0.0)
+    ts = eng.submit(ids_s, max_new_tokens=6, temperature=1.3)
+    eng.drain()
+    want = _reference_tokens("gptneo", cfg, vt, params, ids_g, eng.buckets,
+                             6, None)
+    assert _get(tg)["tokens"] == want
+    got_s = _get(ts)["tokens"]
+    assert len(got_s) == 6 and all(0 <= t < 64 for t in got_s)
