@@ -67,7 +67,7 @@ class InflightEngine:
                  prompt_buckets=(16, 32, 64, 128),
                  eos_token_id: Optional[int] = None, pad_token_id: int = 0,
                  top_k: int = 0, top_p: float = 1.0, kv_int8: bool = False,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, state_sharding: Optional[Dict] = None):
         if family not in ("gptneo", "gptj"):
             raise ValueError(f"in-flight engine supports GPT families, got {family}")
         self.params = params
@@ -93,7 +93,17 @@ class InflightEngine:
             sin_np, cos_np = _rotary_sincos(self.Lmax, rd)
             self._sincos = (jnp.asarray(sin_np), jnp.asarray(cos_np))
 
+        # multi-chip serving: a {"k": ..., "v": ..., "mask": ..., ...} dict
+        # of jax.sharding.Sharding pins the pooled state's layout over the
+        # mesh (slots over 'data', KV heads over 'model' alongside
+        # TP-sharded params). Applied at init (device_put) AND as a
+        # with_sharding_constraint on every program's returned state, so
+        # donated buffers keep one stable sharding across calls.
+        self._state_shard = state_sharding
         self.state = self._init_state()
+        if state_sharding is not None:
+            self.state = jax.tree.map(
+                jax.device_put, self.state, self._shard_tree(self.state))
         self._admit_cache: Dict = {}
         self._step_fn = self._make_step()
 
@@ -106,6 +116,20 @@ class InflightEngine:
                       "occupancy_sum": 0, "admissions": 0}
 
     # -- device state -----------------------------------------------------
+
+    def _shard_tree(self, state):
+        """Expand the per-field sharding dict to state's full leaf
+        structure (the int8 pools nest {"q","s"} under k/v)."""
+        return {
+            f: jax.tree.map(lambda _: self._state_shard[f], state[f])
+            for f in state
+        }
+
+    def _constrain(self, state):
+        if self._state_shard is None:
+            return state
+        return jax.tree.map(jax.lax.with_sharding_constraint, state,
+                            self._shard_tree(state))
 
     def _cache_dtype(self):
         return jax.tree_util.tree_leaves(self.params)[0].dtype
@@ -201,7 +225,7 @@ class InflightEngine:
                 "unfinished": state["unfinished"].at[slot].set(unf0),
                 "temps": state["temps"].at[slot].set(temp[0]),
             }
-            return new, first[0]
+            return self._constrain(new), first[0]
 
         return jax.jit(admit, donate_argnums=(1,))
 
@@ -254,13 +278,14 @@ class InflightEngine:
             k, v, mask, cur, t, pos, unfinished = carry
             new = {"k": k, "v": v, "mask": mask, "cur": cur, "t": t,
                    "pos": pos, "unfinished": unfinished, "temps": temps}
-            return new, toks.T  # (S, C)
+            return self._constrain(new), toks.T  # (S, C)
 
         return jax.jit(step, donate_argnums=(1,))
 
     # -- host protocol ------------------------------------------------------
 
     def submit(self, ids: np.ndarray, *, video: Optional[np.ndarray] = None,
+               video_mask: Optional[np.ndarray] = None,
                max_new_tokens: int = 16,
                temperature: float = 0.0) -> "queue.Queue":
         """Enqueue one request. ids is the UNPADDED (T,) int prompt; it is
@@ -287,7 +312,7 @@ class InflightEngine:
         padded[b - len(ids):] = ids
         am[b - len(ids):] = 1
         self._waiting.put({
-            "ids": padded, "am": am, "video": video,
+            "ids": padded, "am": am, "video": video, "vmask": video_mask,
             "max_new": int(max_new_tokens),
             "temperature": float(temperature), "ticket": ticket,
             "out": [],
@@ -310,7 +335,11 @@ class InflightEngine:
         am = jnp.asarray(req["am"][None, :])
         if has_video:
             video = jnp.asarray(np.asarray(req["video"], np.float32)[None])
-            vmask = jnp.ones((1, video.shape[1]), jnp.int32)
+            if req.get("vmask") is not None:
+                vmask = jnp.asarray(
+                    np.asarray(req["vmask"], np.int32)[None])
+            else:
+                vmask = jnp.ones((1, video.shape[1]), jnp.int32)
         else:
             video = vmask = None
         temp = jnp.asarray([req["temperature"]], jnp.float32)

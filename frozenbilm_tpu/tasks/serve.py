@@ -348,6 +348,130 @@ class GenService:
         return out
 
 
+class InflightGenService:
+    """AR generation over the in-flight continuous batching engine
+    (tasks/engine.py): requests enter a pooled-KV slot engine the moment a
+    slot frees up, instead of waiting for a whole window-batch to decode to
+    completion. Greedy rows stay token-exact vs GenService's whole-batch
+    decoder; per-request max_new_tokens ends a row's decode early (the
+    window batcher always pays the compiled max).
+
+    Enabled with --serve_inflight N (N = slots); incompatible with
+    --serve_num_beams > 1 and --serve_speculative (those reshape the
+    compiled program per batch, which is exactly what the slot engine
+    avoids)."""
+
+    endpoint = "/generate"
+    validate = GenService.validate  # same request contract
+
+    def __init__(self, args):
+        from frozenbilm_tpu.models import family_of
+        from frozenbilm_tpu.tasks.engine import InflightEngine
+
+        self.args = args
+        self.tokenizer = get_tokenizer(args)
+        bundle = build_model(args)
+        params = _load_serving_params(args, bundle)
+        self.params = _finalize_params(args, bundle, params)
+        self.bundle = bundle
+        self.max_new = args.serve_max_new_tokens
+        self.batch_size = args.serve_inflight  # /healthz reports slots
+        self.num_beams = 1  # validate() contract: greedy/sampled only
+        self.n_spec = 0
+        self.eos = self.tokenizer.eos_token_id
+        delay = args.max_feats if args.features_dim else 0
+        buckets, b = [], 16
+        while b < args.max_tokens:
+            buckets.append(b)
+            b *= 2
+        buckets.append(args.max_tokens)
+        self.engine = InflightEngine(
+            self.params, bundle.cfg, bundle.vt, family_of(args.model_name),
+            slots=args.serve_inflight,
+            max_len=delay + args.max_tokens + self.max_new,
+            chunk=args.serve_inflight_chunk, prompt_buckets=buckets,
+            eos_token_id=self.eos,
+            pad_token_id=self.eos if self.eos is not None else 0,
+            top_k=args.serve_top_k, top_p=args.serve_top_p,
+            kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
+            rng_seed=args.seed)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self.engine.run_forever, args=(self._stop,), daemon=True)
+        self._thread.start()
+
+    def submit_payload(self, payload: Dict) -> Dict:
+        want = min(int(payload.get("max_new_tokens", self.max_new)),
+                   self.max_new)
+        if want < 1:
+            return {"text": "", "tokens": []}
+        enc = encode_batch(self.tokenizer, [payload["prompt"]],
+                           self.args.max_tokens, left_pad=True)
+        row = enc["input_ids"][0][enc["attention_mask"][0] == 1]
+        video = vmask = None
+        feats = payload.get("video_features")
+        if feats:
+            F, D = self.args.max_feats, self.args.features_dim
+            arr = np.asarray(feats, np.float32).reshape(-1, D)
+            video, vlen = subsample_or_pad(arr, F)
+            vmask = np.zeros(F, np.int32)
+            vmask[:vlen] = 1
+        ticket = self.engine.submit(
+            row, video=video, video_mask=vmask, max_new_tokens=want,
+            temperature=float(payload.get("temperature", 0.0)))
+        res = ticket.get()
+        if "error" in res:
+            raise ValueError(res["error"])
+        toks = res["tokens"]
+        if self.eos is not None and self.eos in toks:
+            toks = toks[:toks.index(self.eos)]
+        return {"text": self.tokenizer.decode(toks), "tokens": toks}
+
+
+class _InflightBatcher:
+    """_Batcher-shaped front for InflightGenService: requests go straight to
+    the engine (admission IS the batching); this object only keeps the
+    latency/stats surface the handler expects."""
+
+    def __init__(self, service: InflightGenService):
+        self.service = service
+        self._lock = threading.Lock()
+        self._latencies: List[float] = []
+        self.n_requests = 0
+
+    def submit(self, payload: Dict) -> Dict:
+        import time
+
+        t0 = time.perf_counter()
+        result = self.service.submit_payload(payload)
+        with self._lock:
+            self.n_requests += 1
+            self._latencies.append(time.perf_counter() - t0)
+            if len(self._latencies) > 1000:
+                del self._latencies[:-1000]
+        return result
+
+    def stats(self) -> Dict:
+        eng = self.service.engine
+        with self._lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            out = {
+                "requests": self.n_requests,
+                "latency_ms_p50": round(lat[n // 2] * 1e3, 2) if n else None,
+                "latency_ms_p95": round(lat[int(n * 0.95)] * 1e3, 2) if n else None,
+            }
+        with eng._lock:
+            steps = eng.stats["steps"]
+            out.update({
+                "engine_steps": steps,
+                "engine_admissions": eng.stats["admissions"],
+                "engine_avg_occupancy": round(
+                    eng.stats["occupancy_sum"] / steps, 3) if steps else None,
+            })
+        return out
+
+
 class _Batcher:
     """Collects requests for up to `window_ms`, scores them in one batch."""
 
@@ -469,6 +593,19 @@ def build_server(args) -> ThreadingHTTPServer:
             raise ValueError(
                 "--program exports cover the encoder /qa scoring program "
                 "only; GPT generate serving always traces at startup")
+        if getattr(args, "serve_inflight", 0):
+            if args.serve_num_beams > 1 or args.serve_speculative:
+                raise ValueError(
+                    "--serve_inflight is greedy/sampled-only; it cannot "
+                    "combine with --serve_num_beams > 1 or "
+                    "--serve_speculative")
+            service = InflightGenService(args)
+            # warm the step program + the largest prompt bucket
+            service.submit_payload({"prompt": "what is happening?",
+                                    "max_new_tokens": 1})
+            batcher = _InflightBatcher(service)
+            return ThreadingHTTPServer((args.serve_host, args.port),
+                                       make_handler(batcher, service))
         service = GenService(args)
         # warm the compile before accepting traffic
         service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])
@@ -511,6 +648,16 @@ def get_serve_parser():
                              "with this many draft tokens per verify step "
                              "(0 = off; greedy-exact output, fewer "
                              "weight-read steps — ops/speculative.py)")
+    parser.add_argument("--serve_inflight", type=int, default=0,
+                        help="serve /generate with the in-flight continuous "
+                             "batching engine using this many KV slots "
+                             "(0 = window batching): requests join a "
+                             "running decode at chunk boundaries instead "
+                             "of waiting for the whole batch "
+                             "(tasks/engine.py)")
+    parser.add_argument("--serve_inflight_chunk", type=int, default=4,
+                        help="in-flight engine: decode tokens per compiled "
+                             "chunk between admission/retirement points")
     parser.add_argument("--serve_kv_int8", type=int, default=0,
                         help="store the decode KV cache in int8 with "
                              "per-vector scales (ops/quant.kv_quantize) — "

@@ -230,6 +230,12 @@ def main():
         # prompt-lookup speculative greedy (token-exact; acceptance on
         # these synthetic prompts is the pessimistic regime)
         gen_variants.append(("spec", ["--serve_speculative", "7"]))
+    # in-flight continuous batching (tasks/engine.py): requests join a
+    # running decode at chunk boundaries instead of waiting for the window
+    # batch to finish — the latency story under mixed arrival times
+    gen_variants.append(("inflight", ["--serve_inflight",
+                                      "2" if SMALL else "8",
+                                      "--serve_inflight_chunk", "4"]))
     for variant, extra in gen_variants:
         server, url = _serve(base_gen + extra)
         try:

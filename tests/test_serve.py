@@ -282,6 +282,85 @@ def test_serve_generate_speculative(gen_env):
     assert spec[1][0] == 400 and "temperature" in spec[1][1]["error"]
 
 
+def test_serve_generate_inflight(gen_env):
+    """--serve_inflight: the continuous-batching engine serves /generate
+    with greedy tokens EXACTLY matching the window-batching server, honors
+    per-request max_new_tokens natively (early slot retirement), takes
+    concurrent mixed traffic, and rejects beam/speculative combos."""
+    import concurrent.futures
+
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    base = [
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b",
+        "--tokenizer_path", str(gen_env),
+        "--features_dim", "16", "--max_feats", "4", "--max_tokens", "16",
+        "--batch_size_val", "2", "--serve_host", "127.0.0.1", "--port", "0",
+        "--serve_max_new_tokens", "6",
+    ]
+
+    def start(extra):
+        args = get_serve_parser().parse_args(base + extra)
+        server = build_server(args)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(url, payload, timeout=60):
+        req = urllib.request.Request(
+            f"{url}/generate", json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(5, 16)).astype(np.float32).tolist()
+    prompts = [{"prompt": "a dog sits"},
+               {"prompt": "the cat"},
+               {"prompt": "a dog sits", "max_new_tokens": 2},
+               {"prompt": "water", "video_features": feats}]
+
+    win_server, win_url = start([])
+    try:
+        want = [post(win_url, p) for p in prompts]
+    finally:
+        win_server.shutdown()
+
+    inf_server, inf_url = start(["--serve_inflight", "2",
+                                 "--serve_inflight_chunk", "2"])
+    try:
+        # concurrent mixed traffic through 2 slots (forces slot reuse and
+        # mid-flight admission)
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(lambda p: post(inf_url, p), prompts))
+        for (ws, wo), (gs, go), p in zip(want, got, prompts):
+            assert ws == gs == 200
+            assert go["tokens"] == wo["tokens"], p
+        # sampled request rides the same engine
+        s, o = post(inf_url, {"prompt": "a dog", "temperature": 1.2})
+        assert s == 200 and len(o["tokens"]) <= 6
+        # stats expose engine occupancy
+        with urllib.request.urlopen(f"{inf_url}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["engine_admissions"] >= 5
+        assert stats["engine_avg_occupancy"] is not None
+    finally:
+        inf_server.shutdown()
+
+    # invalid combos are rejected at build time
+    import pytest as _pytest
+
+    for extra in (["--serve_inflight", "2", "--serve_num_beams", "3"],
+                  ["--serve_inflight", "2", "--serve_speculative", "4"]):
+        args = get_serve_parser().parse_args(base + extra)
+        with _pytest.raises(ValueError, match="serve_inflight"):
+            build_server(args)
+
+
 def test_serve_quantized(serve_env):
     server, url = _server(serve_env, extra=["--quantize", "w8a8"])
     try:
