@@ -67,7 +67,8 @@ class InflightEngine:
                  prompt_buckets=(16, 32, 64, 128),
                  eos_token_id: Optional[int] = None, pad_token_id: int = 0,
                  top_k: int = 0, top_p: float = 1.0, kv_int8: bool = False,
-                 rng_seed: int = 0, state_sharding: Optional[Dict] = None):
+                 rng_seed: int = 0, state_sharding: Optional[Dict] = None,
+                 spec_draft: int = 0, max_new_cap: int = 64):
         if family not in ("gptneo", "gptj"):
             raise ValueError(f"in-flight engine supports GPT families, got {family}")
         self.params = params
@@ -79,6 +80,15 @@ class InflightEngine:
         self.pad = int(pad_token_id)
         self.top_k, self.top_p = int(top_k), float(top_p)
         self.kv_int8 = bool(kv_int8)
+        # speculative mode: each chunk iteration is ONE prompt-lookup verify
+        # step emitting 1..spec_draft+1 tokens per live row (greedy-exact;
+        # see gptneo_speculative_cached for the whole-batch ancestor).
+        # Rejected draft tails are overwritten in place, so the pool gets
+        # spec_draft+1 slack positions per row.
+        self.spec = int(spec_draft)
+        self.Gmax = int(max_new_cap)
+        if self.spec:
+            self.Lmax += self.spec + 1
         self._rng = jax.random.key(rng_seed)
         self._step_ctr = 0
 
@@ -111,6 +121,7 @@ class InflightEngine:
         self._waiting: "queue.Queue" = queue.Queue()
         self._slots: List[Optional[Dict]] = [None] * self.S
         self._active = np.zeros(self.S, dtype=bool)
+        self._nprev = np.zeros(self.S, dtype=np.int64)  # spec: tokens read
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
                       "occupancy_sum": 0, "admissions": 0}
@@ -147,7 +158,7 @@ class InflightEngine:
         else:
             k = jnp.zeros((nl, S, nh, L, hd), dt)
             v = jnp.zeros((nl, S, nh, L, hd), dt)
-        return {
+        state = {
             "k": k, "v": v,
             "mask": jnp.zeros((S, L), jnp.float32),
             "cur": jnp.zeros((S,), jnp.int32),
@@ -156,6 +167,19 @@ class InflightEngine:
             "unfinished": jnp.zeros((S,), bool),
             "temps": jnp.zeros((S,), jnp.float32),
         }
+        if self.spec:
+            Bmax = self.buckets[-1]
+            state.update({
+                # drafting history: [prompt (right-aligned in Bmax) ||
+                # generated (Gmax)], validity from pam / n
+                "pids": jnp.zeros((S, Bmax), jnp.int32),
+                "pam": jnp.zeros((S, Bmax), jnp.int32),
+                "out": jnp.zeros((S, self.Gmax), jnp.int32),
+                "n": jnp.zeros((S,), jnp.int32),
+                "l2": jnp.zeros((S,), jnp.int32),  # bigram: (l2, cur)
+                "budget": jnp.zeros((S,), jnp.int32),
+            })
+        return state
 
     # -- compiled programs -------------------------------------------------
 
@@ -181,6 +205,35 @@ class InflightEngine:
 
         eos, pad = self.eos, self.pad
         Lmax = self.Lmax
+
+        def spec_admit(params, state, slot, ids, am, video, vmask, budget):
+            """Speculative admission: greedy first token + drafting state
+            (right-aligned prompt history, trailing bigram, out buffer)."""
+            zero = jnp.zeros((1,), jnp.float32)
+            new, first = admit(params, state, slot, ids, am, video, vmask,
+                               zero, None)
+            Bmax = self.buckets[-1]
+            Tb = ids.shape[1]
+            prow = jnp.pad(ids.astype(jnp.int32), [(0, 0), (Bmax - Tb, 0)])
+            mrow = jnp.pad(am.astype(jnp.int32), [(0, 0), (Bmax - Tb, 0)])
+            plen = jnp.sum(am, axis=1).astype(jnp.int32)
+            l2_0 = jnp.take_along_axis(
+                ids, jnp.maximum(plen - 1, 0)[:, None], axis=1)[0, 0]
+            out_row = jnp.full((1, self.Gmax), pad, jnp.int32)
+            out_row = out_row.at[0, 0].set(first.astype(jnp.int32))
+            new.update({
+                "pids": jax.lax.dynamic_update_slice(
+                    new["pids"], prow, (slot, 0)),
+                "pam": jax.lax.dynamic_update_slice(
+                    new["pam"], mrow, (slot, 0)),
+                "out": jax.lax.dynamic_update_slice(
+                    new["out"], out_row, (slot, 0)),
+                "n": new["n"].at[slot].set(jnp.int32(1)),
+                "l2": new["l2"].at[slot].set(l2_0.astype(jnp.int32)),
+                "budget": new["budget"].at[slot].set(
+                    budget.astype(jnp.int32)),
+            })
+            return self._constrain(new), first
 
         def admit(params, state, slot, ids, am, video, vmask, temp, rng):
             out = self._prefill(params, ids, am, video, vmask)
@@ -216,7 +269,8 @@ class InflightEngine:
                           [(0, 0), (0, Lmax - T0)])
             mask = jax.lax.dynamic_update_slice(state["mask"], row, (slot, 0))
             unf0 = (first[0] != eos) if eos is not None else jnp.asarray(True)
-            new = {
+            new = dict(state)  # spec-mode fields pass through untouched here
+            new.update({
                 "k": k, "v": v, "mask": mask,
                 "cur": state["cur"].at[slot].set(first[0].astype(jnp.int32)),
                 "t": state["t"].at[slot].set(jnp.int32(T0)),
@@ -224,9 +278,11 @@ class InflightEngine:
                     jnp.sum(full_am).astype(jnp.int32)),
                 "unfinished": state["unfinished"].at[slot].set(unf0),
                 "temps": state["temps"].at[slot].set(temp[0]),
-            }
+            })
             return self._constrain(new), first[0]
 
+        if self.spec:
+            return jax.jit(spec_admit, donate_argnums=(1,))
         return jax.jit(admit, donate_argnums=(1,))
 
     def _make_step(self):
@@ -242,15 +298,83 @@ class InflightEngine:
         if self.family == "gptneo":
             from frozenbilm_tpu.models.gptneo import _decode_many as _dm
 
-            def decode1(params, k, v, mask, cur, t, pos):
-                return _dm(params, cfg, k, v, mask, cur[:, None], t,
+            def decodeK(params, k, v, mask, u, t, pos):
+                return _dm(params, cfg, k, v, mask, u, t,
                            pos, self._is_local)
         else:
             from frozenbilm_tpu.models.gptj import _decode_many as _dm
 
-            def decode1(params, k, v, mask, cur, t, pos):
-                return _dm(params, cfg, k, v, mask, cur[:, None], t,
+            def decodeK(params, k, v, mask, u, t, pos):
+                return _dm(params, cfg, k, v, mask, u, t,
                            self._sincos[0], self._sincos[1])
+
+        def decode1(params, k, v, mask, cur, t, pos):
+            return decodeK(params, k, v, mask, cur[:, None], t, pos)
+
+        def spec_step(params, state, active, rng, base):
+            """One chunk of prompt-lookup verify steps (the in-flight twin
+            of gptneo_speculative_cached's while-body): each iteration
+            drafts K-1 tokens per live row from its own [prompt||generated]
+            history, runs ONE K-token _decode_many at per-row depths, and
+            keeps the argmax-matching prefix + 1 bonus. cur doubles as the
+            trailing token l1; t keeps the invariant t = L0 + n - 1 (the
+            cache slot cur was written at)."""
+            from frozenbilm_tpu.ops.speculative import (accept_greedy,
+                                                        lookup_draft,
+                                                        mask_after_eos)
+
+            K = self.spec + 1
+            pids, pam, budget = state["pids"], state["pam"], state["budget"]
+            gen_idx = jnp.arange(self.Gmax)[None, :]
+            jj = jnp.arange(Lmax)[None, :]
+            kk = jnp.arange(K)[None, :]
+            srange = jnp.arange(self.S)
+
+            def one(carry, i):
+                k, v, mask, cur, t, pos, unf, n, out, l2 = carry
+                live = unf & active & (n < budget)
+                hist = jnp.concatenate([pids, out], axis=1)
+                hvalid = jnp.concatenate(
+                    [pam.astype(bool), gen_idx < n[:, None]], axis=1)
+                drafts = lookup_draft(hist, hvalid, l2, cur, K - 1)
+                u = jnp.concatenate([cur[:, None], drafts], axis=1)
+                win = ((jj >= t[:, None]) & (jj < (t + K)[:, None])
+                       & live[:, None])
+                step_mask = jnp.maximum(mask, win.astype(mask.dtype))
+                k, v, logits = decodeK(params, k, v, step_mask, u, t, pos)
+                preds = jnp.argmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(jnp.int32)
+                emitted, n_emit = accept_greedy(preds, drafts)
+                n_emit = jnp.where(live, n_emit, 0)
+                if eos is not None:
+                    emitted, n_emit, unf = mask_after_eos(
+                        emitted, n_emit, unf, eos, pad)
+                d = jnp.minimum(n + n_emit, budget) - n  # per-row budget
+                cols = jnp.where(kk < d[:, None], n[:, None] + kk, self.Gmax)
+                out = out.at[srange[:, None], cols].set(emitted, mode="drop")
+                mask = jnp.maximum(
+                    mask, ((jj >= t[:, None]) & (jj < (t + d)[:, None])
+                           ).astype(mask.dtype))
+                e_last = jnp.take_along_axis(
+                    emitted, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
+                e_prev = jnp.take_along_axis(
+                    emitted, jnp.maximum(n_emit - 2, 0)[:, None], axis=1)[:, 0]
+                new_cur = jnp.where(n_emit >= 1, e_last, cur)
+                new_l2 = jnp.where(n_emit >= 2, e_prev,
+                                   jnp.where(n_emit == 1, cur, l2))
+                return (k, v, mask, new_cur, t + d, pos + d, unf, n + d,
+                        out, new_l2), None
+
+            carry = (state["k"], state["v"], state["mask"], state["cur"],
+                     state["t"], state["pos"], state["unfinished"],
+                     state["n"], state["out"], state["l2"])
+            carry, _ = jax.lax.scan(one, carry, jnp.arange(C))
+            k, v, mask, cur, t, pos, unf, n, out, l2 = carry
+            new = dict(state)
+            new.update({"k": k, "v": v, "mask": mask, "cur": cur, "t": t,
+                        "pos": pos, "unfinished": unf, "n": n, "out": out,
+                        "l2": l2})
+            return self._constrain(new), (out, n)
 
         def step(params, state, active, rng, base):
             temps = state["temps"]
@@ -280,6 +404,8 @@ class InflightEngine:
                    "pos": pos, "unfinished": unfinished, "temps": temps}
             return self._constrain(new), toks.T  # (S, C)
 
+        if self.spec:
+            return jax.jit(spec_step, donate_argnums=(1,))
         return jax.jit(step, donate_argnums=(1,))
 
     # -- host protocol ------------------------------------------------------
@@ -302,10 +428,20 @@ class InflightEngine:
             ticket.put({"error": f"prompt length {len(ids)} exceeds the "
                                  f"largest bucket {self.buckets[-1]}"})
             return ticket
-        if b + delay + int(max_new_tokens) > self.Lmax:
+        slack = (self.spec + 1) if self.spec else 0
+        if b + delay + int(max_new_tokens) + slack > self.Lmax:
             ticket.put({"error": f"bucket {b} + video {delay} + "
                                  f"max_new_tokens {max_new_tokens} exceeds "
                                  f"the {self.Lmax}-position cache"})
+            return ticket
+        if self.spec and int(max_new_tokens) > self.Gmax:
+            ticket.put({"error": f"max_new_tokens {max_new_tokens} exceeds "
+                                 f"the speculative output buffer "
+                                 f"({self.Gmax})"})
+            return ticket
+        if self.spec and float(temperature) > 0.0:
+            ticket.put({"error": "speculative decoding is greedy-exact; "
+                                 "temperature > 0 is not applicable"})
             return ticket
         padded = np.full(b, self.pad, np.int32)
         am = np.zeros(b, np.int32)
@@ -342,12 +478,18 @@ class InflightEngine:
                 vmask = jnp.ones((1, video.shape[1]), jnp.int32)
         else:
             video = vmask = None
-        temp = jnp.asarray([req["temperature"]], jnp.float32)
-        rng = jax.random.fold_in(self._rng, self._step_ctr)
-        self._step_ctr += 1
-        self.state, first = self._admit_cache[key](
-            self.params, self.state, np.int32(slot), ids, am, video, vmask,
-            temp, rng)
+        if self.spec:
+            self.state, first = self._admit_cache[key](
+                self.params, self.state, np.int32(slot), ids, am, video,
+                vmask, np.int32(req["max_new"]))
+            self._nprev[slot] = 1
+        else:
+            temp = jnp.asarray([req["temperature"]], jnp.float32)
+            rng = jax.random.fold_in(self._rng, self._step_ctr)
+            self._step_ctr += 1
+            self.state, first = self._admit_cache[key](
+                self.params, self.state, np.int32(slot), ids, am, video,
+                vmask, temp, rng)
         first = int(first)
         self._slots[slot] = req
         self._active[slot] = True
@@ -392,13 +534,21 @@ class InflightEngine:
         self.state, toks = self._step_fn(self.params, self.state, active,
                                          rng, np.int32(self._step_ctr))
         self._step_ctr += self.C
-        toks = np.asarray(toks)  # (S, C)
         with self._lock:
             self.stats["steps"] += self.C
             self.stats["occupancy_sum"] += int(self._active.sum()) * self.C
-        for slot in range(self.S):
-            if self._active[slot]:
-                self._emit(slot, toks[slot].tolist())
+        if self.spec:
+            out, n = np.asarray(toks[0]), np.asarray(toks[1])
+            for slot in range(self.S):
+                if self._active[slot]:
+                    new = out[slot, self._nprev[slot]:n[slot]]
+                    self._nprev[slot] = n[slot]
+                    self._emit(slot, new.tolist())
+        else:
+            toks = np.asarray(toks)  # (S, C)
+            for slot in range(self.S):
+                if self._active[slot]:
+                    self._emit(slot, toks[slot].tolist())
         return True
 
     def drain(self):

@@ -376,8 +376,12 @@ class InflightGenService:
         self.bundle = bundle
         self.max_new = args.serve_max_new_tokens
         self.batch_size = args.serve_inflight  # /healthz reports slots
-        self.num_beams = 1  # validate() contract: greedy/sampled only
-        self.n_spec = 0
+        self.num_beams = 1  # validate() contract: no beam program
+        # --serve_speculative composes: per-slot prompt-lookup drafts +
+        # one multi-token verify step per engine iteration (greedy-exact,
+        # so validate() rejects per-request temperature like GenService's
+        # whole-batch speculative mode)
+        self.n_spec = getattr(args, "serve_speculative", 0)
         self.eos = self.tokenizer.eos_token_id
         delay = args.max_feats if args.features_dim else 0
         buckets, b = [], 16
@@ -394,7 +398,8 @@ class InflightGenService:
             pad_token_id=self.eos if self.eos is not None else 0,
             top_k=args.serve_top_k, top_p=args.serve_top_p,
             kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
-            rng_seed=args.seed)
+            rng_seed=args.seed, spec_draft=self.n_spec,
+            max_new_cap=self.max_new)
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self.engine.run_forever, args=(self._stop,), daemon=True)
@@ -594,11 +599,11 @@ def build_server(args) -> ThreadingHTTPServer:
                 "--program exports cover the encoder /qa scoring program "
                 "only; GPT generate serving always traces at startup")
         if getattr(args, "serve_inflight", 0):
-            if args.serve_num_beams > 1 or args.serve_speculative:
+            if args.serve_num_beams > 1:
                 raise ValueError(
                     "--serve_inflight is greedy/sampled-only; it cannot "
-                    "combine with --serve_num_beams > 1 or "
-                    "--serve_speculative")
+                    "combine with --serve_num_beams > 1 "
+                    "(--serve_speculative composes fine)")
             service = InflightGenService(args)
             # warm the step program + the largest prompt bucket
             service.submit_payload({"prompt": "what is happening?",

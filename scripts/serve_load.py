@@ -236,6 +236,13 @@ def main():
     gen_variants.append(("inflight", ["--serve_inflight",
                                       "2" if SMALL else "8",
                                       "--serve_inflight_chunk", "4"]))
+    if not SMALL:
+        # the headline serving config: continuous batching + per-slot
+        # prompt-lookup speculation (greedy-exact)
+        gen_variants.append(("inflight_spec",
+                             ["--serve_inflight", "8",
+                              "--serve_inflight_chunk", "2",
+                              "--serve_speculative", "5"]))
     for variant, extra in gen_variants:
         server, url = _serve(base_gen + extra)
         try:

@@ -174,6 +174,79 @@ def test_engine_rejects_oversized_requests():
     eng.drain()  # nothing admitted; must return immediately
 
 
+def test_engine_speculative_matches_greedy_staggered():
+    """spec_draft > 0: per-slot prompt-lookup verify steps stay token-EXACT
+    vs the whole-batch GREEDY decoder across staggered admission, slot
+    reuse, repetitive prompts (real acceptance), mixed budgets, and eos."""
+    from frozenbilm_tpu.models.gptneo import gptneo_greedy_cached
+
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(5)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8, 16), eos_token_id=None,
+                         spec_draft=3, max_new_cap=16)
+    reqs = [(np.tile([7, 8, 9, 10], 3).astype(np.int32), 12),  # repetitive
+            (rng.integers(3, 64, size=6).astype(np.int32), 9),
+            (rng.integers(3, 64, size=13).astype(np.int32), 7),
+            (np.tile([5, 6], 4).astype(np.int32), 10)]
+    tickets = [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs[:2]]
+    eng.step_once()
+    tickets += [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs[2:]]
+    eng.drain()
+    for (ids, mn), ticket in zip(reqs, tickets):
+        want = _reference_tokens("gptneo", cfg, vt, params, ids, eng.buckets,
+                                 mn, None)
+        got = _get(ticket)["tokens"]
+        assert got == want, (ids.tolist(), mn)
+    # speculation actually paid: fewer verify steps than tokens
+    assert eng.stats["tokens"] > eng.stats["steps"] - 2 * eng.C
+
+    # eos trajectory: pick an eos greedy emits mid-stream
+    ids = rng.integers(3, 64, size=6).astype(np.int32)
+    b = 8
+    padded = np.zeros(b, np.int32)
+    am = np.zeros(b, np.int32)
+    padded[b - 6:] = ids
+    am[b - 6:] = 1
+    free = np.asarray(gptneo_greedy_cached(
+        params, cfg, vt, video=None, video_mask=None,
+        input_ids=jnp.asarray(padded[None]),
+        attention_mask=jnp.asarray(am[None]), max_new_tokens=10,
+        eos_token_id=None))
+    eos = int(free[0, b + 4])
+    eng2 = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                          chunk=2, prompt_buckets=(8,), eos_token_id=eos,
+                          spec_draft=3, max_new_cap=16)
+    t = eng2.submit(ids, max_new_tokens=10)
+    eng2.drain()
+    want = _reference_tokens("gptneo", cfg, vt, params, ids, eng2.buckets,
+                             10, eos)
+    got = _get(t)["tokens"]
+    assert got == want and got[-1] == eos
+
+    # temperature is rejected up front in speculative mode
+    r = _get(eng2.submit(ids, max_new_tokens=4, temperature=0.7))
+    assert "error" in r and "temperature" in r["error"]
+
+
+def test_engine_speculative_gptj_kv_int8():
+    """GPT-J + int8 KV pool + speculation: still exact vs whole-batch
+    greedy kv_int8."""
+    cfg, vt, params = _toy_j()
+    rng = np.random.default_rng(6)
+    eng = InflightEngine(params, cfg, vt, "gptj", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8, 12), eos_token_id=None,
+                         kv_int8=True, spec_draft=4, max_new_cap=12)
+    reqs = [(np.tile([7, 8, 9], 4).astype(np.int32), 10),
+            (rng.integers(3, 64, size=7).astype(np.int32), 8)]
+    tickets = [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs]
+    eng.drain()
+    for (ids, mn), ticket in zip(reqs, tickets):
+        want = _reference_tokens("gptj", cfg, vt, params, ids, eng.buckets,
+                                 mn, None, kv_int8=True)
+        assert _get(ticket)["tokens"] == want
+
+
 def test_engine_sampled_rows_ride_with_greedy():
     """Temperature rows sample (per-row temps on one compiled program) while
     greedy rows in the same pool stay exact."""

@@ -351,14 +351,27 @@ def test_serve_generate_inflight(gen_env):
     finally:
         inf_server.shutdown()
 
-    # invalid combos are rejected at build time
+    # speculative composes with the engine: per-slot prompt-lookup drafts,
+    # still greedy-exact vs the window server; temperature rejected
+    spec_server, spec_url = start(["--serve_inflight", "2",
+                                   "--serve_inflight_chunk", "2",
+                                   "--serve_speculative", "3"])
+    try:
+        for (ws, wo), p in zip(want[:3], prompts[:3]):
+            gs, go = post(spec_url, p)
+            assert gs == 200 and go["tokens"] == wo["tokens"], p
+        s, o = post(spec_url, {"prompt": "a dog", "temperature": 1.2})
+        assert s == 400 and "temperature" in o["error"]
+    finally:
+        spec_server.shutdown()
+
+    # beam + inflight is rejected at build time
     import pytest as _pytest
 
-    for extra in (["--serve_inflight", "2", "--serve_num_beams", "3"],
-                  ["--serve_inflight", "2", "--serve_speculative", "4"]):
-        args = get_serve_parser().parse_args(base + extra)
-        with _pytest.raises(ValueError, match="serve_inflight"):
-            build_server(args)
+    args = get_serve_parser().parse_args(
+        base + ["--serve_inflight", "2", "--serve_num_beams", "3"])
+    with _pytest.raises(ValueError, match="serve_inflight"):
+        build_server(args)
 
 
 def test_serve_quantized(serve_env):
