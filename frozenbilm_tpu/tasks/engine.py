@@ -124,7 +124,7 @@ class InflightEngine:
         self._nprev = np.zeros(self.S, dtype=np.int64)  # spec: tokens read
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
-                      "occupancy_sum": 0, "admissions": 0}
+                      "occupancy_sum": 0, "admissions": 0, "failures": 0}
 
     # -- device state -----------------------------------------------------
 
@@ -556,10 +556,44 @@ class InflightEngine:
         while not self._waiting.empty() or self._active.any():
             self.step_once()
 
+    def _fail_inflight(self, exc: Exception):
+        """Failure containment: a raising device step (transient backend
+        error, OOM) must not strand in-flight requests on tickets nobody
+        will ever fill. Every live request gets the error, slots are
+        freed, and the device state is rebuilt so the NEXT request starts
+        from a clean pool (the params are untouched — only decode state is
+        lost)."""
+        with self._lock:
+            # count BEFORE filling tickets: a waiter that wakes on its
+            # ticket must already see the failure in stats
+            self.stats["failures"] += 1
+        for slot in range(self.S):
+            req = self._slots[slot]
+            if req is not None:
+                req["ticket"].put({"error": f"engine step failed: {exc!r}"})
+                self._slots[slot] = None
+            self._active[slot] = False
+        while not self._waiting.empty():
+            try:
+                self._waiting.get_nowait()["ticket"].put(
+                    {"error": f"engine step failed: {exc!r}"})
+            except queue.Empty:
+                break
+        self.state = self._init_state()
+        if self._state_shard is not None:
+            self.state = jax.tree.map(
+                jax.device_put, self.state, self._shard_tree(self.state))
+
     def run_forever(self, stop_event: threading.Event, idle_sleep: float = 0.002):
-        """Serving-loop thread target."""
+        """Serving-loop thread target. Survives device-step failures by
+        erroring out the affected requests and resetting the pool."""
         import time
 
         while not stop_event.is_set():
-            if not self.step_once() and not self._active.any():
+            try:
+                worked = self.step_once()
+            except Exception as e:  # noqa: BLE001 — keep serving
+                self._fail_inflight(e)
+                worked = False
+            if not worked and not self._active.any():
                 time.sleep(idle_sleep)

@@ -473,7 +473,13 @@ class _InflightBatcher:
                 "engine_admissions": eng.stats["admissions"],
                 "engine_avg_occupancy": round(
                     eng.stats["occupancy_sum"] / steps, 3) if steps else None,
+                "engine_failures": eng.stats.get("failures", 0),
             })
+            if eng.spec and eng.stats["occupancy_sum"]:
+                # realized speculation win: tokens emitted per verify step
+                # per occupied slot (1.0 = plain greedy pace)
+                out["engine_tokens_per_step"] = round(
+                    eng.stats["tokens"] / eng.stats["occupancy_sum"], 3)
         return out
 
 

@@ -247,6 +247,42 @@ def test_engine_speculative_gptj_kv_int8():
         assert _get(ticket)["tokens"] == want
 
 
+def test_engine_step_failure_frees_inflight_requests():
+    """A raising device step must not strand in-flight tickets: every live
+    request gets the error, the pool is rebuilt, and the NEXT request
+    decodes correctly on the fresh state."""
+    import threading
+
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(7)
+    ids = rng.integers(3, 64, size=6).astype(np.int32)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8,), eos_token_id=None)
+    t1 = eng.submit(ids, max_new_tokens=8)
+    eng.step_once()  # admit + first chunk on the healthy step
+    orig = eng._step_fn
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    eng._step_fn = boom
+    stop = threading.Event()
+    th = threading.Thread(target=eng.run_forever, args=(stop,), daemon=True)
+    th.start()
+    r1 = _get(t1)
+    assert "error" in r1 and "synthetic device failure" in r1["error"]
+    assert eng.stats["failures"] == 1
+    eng._step_fn = orig  # "backend recovered"
+    ids2 = rng.integers(3, 64, size=7).astype(np.int32)
+    t2 = eng.submit(ids2, max_new_tokens=5)
+    r2 = t2.get(timeout=60)
+    stop.set()
+    th.join(timeout=5)
+    want = _reference_tokens("gptneo", cfg, vt, params, ids2, eng.buckets,
+                             5, None)
+    assert r2["tokens"] == want  # clean pool after the reset
+
+
 def test_engine_sampled_rows_ride_with_greedy():
     """Temperature rows sample (per-row temps on one compiled program) while
     greedy rows in the same pool stay exact."""
