@@ -532,10 +532,13 @@ def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
     unfinished = (first != eos_token_id) if eos_token_id is not None else (
         jnp.ones((B,), bool))
     n0 = jnp.ones((B,), jnp.int32)
-    # trailing bigram: (last valid prompt token, first)
-    plen = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    # trailing bigram: (last valid prompt token, first). Index the last
+    # VALID position, not position sum(mask)-1 — the serving path LEFT-pads
+    # prompts, where sum-1 lands inside the padding and the first verify
+    # step would draft from a junk bigram (drafting-only; tokens stay exact)
+    lastidx = T - 1 - jnp.argmax(jnp.flip(attention_mask, axis=1), axis=1)
     l2_0 = jnp.take_along_axis(
-        input_ids, jnp.maximum(plen - 1, 0)[:, None], axis=1)[:, 0]
+        input_ids, jnp.maximum(lastidx, 0)[:, None], axis=1)[:, 0]
     gen_idx = jnp.arange(max_new_tokens)[None, :]
     jj = jnp.arange(Lmax)[None, :]
     kk = jnp.arange(K)[None, :]

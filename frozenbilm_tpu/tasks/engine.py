@@ -216,9 +216,9 @@ class InflightEngine:
             Tb = ids.shape[1]
             prow = jnp.pad(ids.astype(jnp.int32), [(0, 0), (Bmax - Tb, 0)])
             mrow = jnp.pad(am.astype(jnp.int32), [(0, 0), (Bmax - Tb, 0)])
-            plen = jnp.sum(am, axis=1).astype(jnp.int32)
-            l2_0 = jnp.take_along_axis(
-                ids, jnp.maximum(plen - 1, 0)[:, None], axis=1)[0, 0]
+            # submit() left-pads into the bucket, so the last real prompt
+            # token sits at the final position
+            l2_0 = ids[0, -1]
             out_row = jnp.full((1, self.Gmax), pad, jnp.int32)
             out_row = out_row.at[0, 0].set(first.astype(jnp.int32))
             new.update({
@@ -443,6 +443,9 @@ class InflightEngine:
             ticket.put({"error": "speculative decoding is greedy-exact; "
                                  "temperature > 0 is not applicable"})
             return ticket
+        if int(max_new_tokens) < 1:
+            ticket.put({"error": "max_new_tokens must be >= 1"})
+            return ticket
         padded = np.full(b, self.pad, np.int32)
         am = np.zeros(b, np.int32)
         padded[b - len(ids):] = ids
@@ -478,19 +481,27 @@ class InflightEngine:
                 vmask = jnp.ones((1, video.shape[1]), jnp.int32)
         else:
             video = vmask = None
-        if self.spec:
-            self.state, first = self._admit_cache[key](
-                self.params, self.state, np.int32(slot), ids, am, video,
-                vmask, np.int32(req["max_new"]))
-            self._nprev[slot] = 1
-        else:
-            temp = jnp.asarray([req["temperature"]], jnp.float32)
-            rng = jax.random.fold_in(self._rng, self._step_ctr)
-            self._step_ctr += 1
-            self.state, first = self._admit_cache[key](
-                self.params, self.state, np.int32(slot), ids, am, video,
-                vmask, temp, rng)
-        first = int(first)
+        try:
+            if self.spec:
+                self.state, first = self._admit_cache[key](
+                    self.params, self.state, np.int32(slot), ids, am, video,
+                    vmask, np.int32(req["max_new"]))
+                self._nprev[slot] = 1
+            else:
+                temp = jnp.asarray([req["temperature"]], jnp.float32)
+                rng = jax.random.fold_in(self._rng, self._step_ctr)
+                self._step_ctr += 1
+                self.state, first = self._admit_cache[key](
+                    self.params, self.state, np.int32(slot), ids, am, video,
+                    vmask, temp, rng)
+            first = int(first)
+        except Exception as e:  # noqa: BLE001
+            # the req is already off _waiting and not yet in _slots —
+            # _fail_inflight (via run_forever) would never see its ticket.
+            # Fill it here, then let the caller's containment reset the
+            # pool (the donated state may be half-consumed).
+            req["ticket"].put({"error": f"admission failed: {e!r}"})
+            raise
         self._slots[slot] = req
         self._active[slot] = True
         with self._lock:
@@ -519,6 +530,10 @@ class InflightEngine:
     def step_once(self) -> bool:
         """One engine iteration: admit -> chunk-decode -> retire. Returns
         True if any device work was dispatched."""
+        if self.state is None:  # deferred rebuild after a failed reset
+            if self._waiting.empty():
+                return False
+            self._rebuild_state()
         admitted = False
         while not self._waiting.empty() and self._active.sum() < self.S:
             try:
@@ -556,6 +571,26 @@ class InflightEngine:
         while not self._waiting.empty() or self._active.any():
             self.step_once()
 
+    def warm(self, with_video: bool = False):
+        """Compile every admission program (one per prompt bucket, x2 with
+        video) plus the step program BEFORE taking traffic: a first-use
+        compile inside the serving loop would stall every in-flight slot
+        for the full compile (minutes over a remote-TPU link)."""
+        F, D = self.vt.max_feats, self.vt.features_dim
+        for b in self.buckets:
+            ids = np.full(b, self.pad, np.int32)
+            self.submit(ids, max_new_tokens=1)
+            if with_video and D:
+                self.submit(ids, video=np.zeros((F, D), np.float32),
+                            max_new_tokens=1)
+        self.drain()
+
+    def close(self):
+        """Drop the pooled device state (serving shutdown). The owner is
+        responsible for stopping its run_forever thread first."""
+        self.state = None
+        self._admit_cache.clear()
+
     def _fail_inflight(self, exc: Exception):
         """Failure containment: a raising device step (transient backend
         error, OOM) must not strand in-flight requests on tickets nobody
@@ -579,6 +614,15 @@ class InflightEngine:
                     {"error": f"engine step failed: {exc!r}"})
             except queue.Empty:
                 break
+        self._nprev[:] = 0
+        try:
+            self._rebuild_state()
+        except Exception:  # noqa: BLE001 — backend still down
+            # defer: step_once retries the rebuild before admitting, so a
+            # multi-hour backend outage doesn't kill the engine thread
+            self.state = None
+
+    def _rebuild_state(self):
         self.state = self._init_state()
         if self._state_shard is not None:
             self.state = jax.tree.map(

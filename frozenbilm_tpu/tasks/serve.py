@@ -400,10 +400,19 @@ class InflightGenService:
             kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
             rng_seed=args.seed, spec_draft=self.n_spec,
             max_new_cap=self.max_new)
+        # compile EVERY admission bucket (+ video variants) and the step
+        # program before the serving thread exists — a first-use compile
+        # inside the loop would stall all in-flight slots
+        self.engine.warm(with_video=bool(args.features_dim))
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self.engine.run_forever, args=(self._stop,), daemon=True)
         self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+        self.engine.close()
 
     def submit_payload(self, payload: Dict) -> Dict:
         want = min(int(payload.get("max_new_tokens", self.max_new)),
@@ -424,7 +433,13 @@ class InflightGenService:
         ticket = self.engine.submit(
             row, video=video, video_mask=vmask, max_new_tokens=want,
             temperature=float(payload.get("temperature", 0.0)))
-        res = ticket.get()
+        try:
+            # bounded wait: if the engine thread ever dies or a ticket is
+            # stranded, the client gets a 500 instead of a hung connection
+            res = ticket.get(timeout=self.args.serve_timeout_s)
+        except queue.Empty:
+            raise RuntimeError(
+                f"generation timed out after {self.args.serve_timeout_s}s")
         if "error" in res:
             raise ValueError(res["error"])
         toks = res["tokens"]
@@ -477,9 +492,13 @@ class _InflightBatcher:
             })
             if eng.spec and eng.stats["occupancy_sum"]:
                 # realized speculation win: tokens emitted per verify step
-                # per occupied slot (1.0 = plain greedy pace)
+                # per occupied slot (1.0 = plain greedy pace). Admission
+                # first-tokens are excluded — they come from prefills, not
+                # verify steps
+                spec_tokens = max(
+                    0, eng.stats["tokens"] - eng.stats["admissions"])
                 out["engine_tokens_per_step"] = round(
-                    eng.stats["tokens"] / eng.stats["occupancy_sum"], 3)
+                    spec_tokens / eng.stats["occupancy_sum"], 3)
         return out
 
 
@@ -610,13 +629,19 @@ def build_server(args) -> ThreadingHTTPServer:
                     "--serve_inflight is greedy/sampled-only; it cannot "
                     "combine with --serve_num_beams > 1 "
                     "(--serve_speculative composes fine)")
-            service = InflightGenService(args)
-            # warm the step program + the largest prompt bucket
-            service.submit_payload({"prompt": "what is happening?",
-                                    "max_new_tokens": 1})
+            service = InflightGenService(args)  # warms all buckets itself
             batcher = _InflightBatcher(service)
-            return ThreadingHTTPServer((args.serve_host, args.port),
-                                       make_handler(batcher, service))
+
+            class _InflightServer(ThreadingHTTPServer):
+                def shutdown(self):
+                    super().shutdown()
+                    # stop the engine thread and drop its pooled device
+                    # state — otherwise every server built in a process
+                    # leaks a polling thread plus an S x Lmax KV pool
+                    service.close()
+
+            return _InflightServer((args.serve_host, args.port),
+                                   make_handler(batcher, service))
         service = GenService(args)
         # warm the compile before accepting traffic
         service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])
@@ -669,6 +694,10 @@ def get_serve_parser():
     parser.add_argument("--serve_inflight_chunk", type=int, default=4,
                         help="in-flight engine: decode tokens per compiled "
                              "chunk between admission/retirement points")
+    parser.add_argument("--serve_timeout_s", type=float, default=600.0,
+                        help="in-flight serving: bound each request's wait "
+                             "on the engine (a dead engine yields a 500, "
+                             "not a hung connection)")
     parser.add_argument("--serve_kv_int8", type=int, default=0,
                         help="store the decode KV cache in int8 with "
                              "per-vector scales (ops/quant.kv_quantize) — "
