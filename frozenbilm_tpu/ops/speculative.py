@@ -30,13 +30,19 @@ import jax.numpy as jnp
 
 
 def lookup_draft(hist: jax.Array, valid: jax.Array, l2: jax.Array,
-                 l1: jax.Array, n_draft: int) -> jax.Array:
-    """Per-row bigram prompt-lookup draft.
+                 l1: jax.Array, n_draft: int,
+                 context_depth: int = 2) -> jax.Array:
+    """Per-row prompt-lookup draft: bigram match, longest-suffix preferred.
 
     hist:  (B, H) int token history [prompt slots ‖ generated slots]
     valid: (B, H) bool — which history slots hold real tokens
     l2,l1: (B,)  the current trailing bigram (l2 precedes l1)
     n_draft: number of draft tokens to propose
+    context_depth: how many tokens BEFORE the bigram to also compare
+        (HF prompt-lookup's max-ngram-first rule): among bigram matches,
+        the one whose preceding suffix matches deepest wins, recency
+        breaking ties. Raises acceptance precision when a bigram recurs
+        with different continuations; 0 recovers plain bigram+recency.
 
     Returns (B, n_draft) proposed continuations. Rows without a match get
     l1 repeated (a junk draft costs nothing: verification rejects it).
@@ -56,8 +62,25 @@ def lookup_draft(hist: jax.Array, valid: jax.Array, l2: jax.Array,
              & (hist[:, :-1] == l2[:, None])
              & (hist[:, 1:] == l1[:, None])
              & (q[None, :] < (last_idx - 1)[:, None]))
-    # most recent match: argmax of q+1 over matches (0 when none)
-    score = jnp.where(match, q[None, :] + 1, 0)
+    # longest-suffix depth per candidate: run-length of token-k-before-the-
+    # bigram agreeing with the trailing context (positional — a validity
+    # gap simply ends the run, falling back to bigram behavior)
+    depth = jnp.zeros(match.shape, jnp.int32)
+    run = match
+    for k in range(1, context_depth + 1):
+        # candidate side: hist[q - k] / valid[q - k] (pad-shift; q >= k)
+        hk = jnp.pad(hist, ((0, 0), (k, 0)))[:, :H - 1]
+        vk = jnp.pad(valid, ((0, 0), (k, 0)))[:, :H - 1]
+        # trailing side: the token k before l2 (slot last_idx - 1 - k)
+        cpos = last_idx - 1 - k
+        ctx = jnp.take_along_axis(hist, jnp.maximum(cpos, 0)[:, None],
+                                  axis=1)
+        cval = jnp.take_along_axis(valid, jnp.maximum(cpos, 0)[:, None],
+                                   axis=1) & (cpos >= 0)[:, None]
+        run = (run & vk & cval & (q[None, :] >= k) & (hk == ctx))
+        depth = depth + run.astype(jnp.int32)
+    # rank matches by (suffix depth, recency): score = depth*H + q + 1
+    score = jnp.where(match, depth * H + q[None, :] + 1, 0)
     best = jnp.argmax(score, axis=1)  # (B,)
     found = jnp.any(match, axis=1)
     idx = best[:, None] + 2 + jnp.arange(n_draft)[None, :]  # (B, n_draft)

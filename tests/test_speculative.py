@@ -32,6 +32,23 @@ def test_lookup_draft_finds_most_recent_match():
     np.testing.assert_array_equal(np.asarray(d), [[9, 9]])
 
 
+def test_lookup_draft_prefers_longest_suffix():
+    """Among bigram matches, the one whose PRECEDING context also matches
+    the trailing suffix wins over a more recent shallow match (HF
+    max-ngram-first rule); with no depth difference, recency still rules."""
+    # trailing trigram (3,1,2); bigram (1,2) occurs at q=1 (preceded by 3 —
+    # deep match) and q=5 (preceded by 9 — shallow). Recency alone would
+    # pick q=5 -> draft 7; suffix preference must pick q=1 -> draft 8.
+    hist = jnp.asarray([[3, 1, 2, 8, 9, 1, 2, 7, 3, 1, 2]])
+    valid = jnp.ones((1, 11), bool)
+    d = lookup_draft(hist, valid, jnp.asarray([1]), jnp.asarray([2]), 2)
+    np.testing.assert_array_equal(np.asarray(d), [[8, 9]])
+    # context_depth=0 recovers plain recency: q=5 -> draft [7, 3]
+    d0 = lookup_draft(hist, valid, jnp.asarray([1]), jnp.asarray([2]), 2,
+                      context_depth=0)
+    np.testing.assert_array_equal(np.asarray(d0), [[7, 3]])
+
+
 def test_lookup_draft_ignores_invalid_and_gap():
     # padded prompt: [1 2 0 0] + generated [1 2 5 ...]; the pair (2, 0)
     # spans valid/invalid and must not match; (1,2) at q=0 must.
