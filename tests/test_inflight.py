@@ -163,6 +163,48 @@ def test_engine_gptj_and_kv_int8():
         assert _get(ticket)["tokens"] == want
 
 
+def test_engine_tp_sharded_matches_unsharded():
+    """The pooled state sharded slots-over-'data' x heads-over-'model'
+    next to TP-sharded GPT-J params must emit the SAME tokens as the
+    plain single-device engine (the dryrun leg only checks it runs)."""
+    import jax.numpy  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from frozenbilm_tpu.parallel.mesh import MeshSpec, make_mesh
+    from frozenbilm_tpu.parallel.tp import gpt_param_specs, shard_params
+
+    cfg, vt, params = _toy_j()
+    rng = np.random.default_rng(8)
+    reqs = [(rng.integers(3, 64, size=int(n)).astype(np.int32), mn)
+            for n, mn in ((5, 6), (11, 5), (7, 4))]
+
+    def run(params, state_sharding, slots):
+        eng = InflightEngine(params, cfg, vt, "gptj", slots=slots,
+                             max_len=64, chunk=2, prompt_buckets=(8, 12),
+                             eos_token_id=None,
+                             state_sharding=state_sharding)
+        tickets = [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs]
+        eng.drain()
+        return [_get(t)["tokens"] for t in tickets]
+
+    plain = run(params, None, 2)
+
+    mesh = make_mesh(MeshSpec(data=2, model=2), devices=jax.devices()[:4])
+    sharded_params = shard_params(mesh, params, gpt_param_specs(params))
+    sharding = {
+        "k": NamedSharding(mesh, P(None, "data", "model")),
+        "v": NamedSharding(mesh, P(None, "data", "model")),
+        "mask": NamedSharding(mesh, P("data")),
+        "cur": NamedSharding(mesh, P("data")),
+        "t": NamedSharding(mesh, P("data")),
+        "pos": NamedSharding(mesh, P("data")),
+        "unfinished": NamedSharding(mesh, P("data")),
+        "temps": NamedSharding(mesh, P("data")),
+    }
+    tp = run(sharded_params, sharding, 2)
+    assert tp == plain
+
+
 def test_engine_rejects_oversized_requests():
     cfg, vt, params = _toy_neo()
     eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=32,
