@@ -143,6 +143,11 @@ class InflightEngine:
                             self._shard_tree(state))
 
     def _cache_dtype(self):
+        # activation dtype = embedding-table dtype; the first tree leaf
+        # could be an int8/int4 kernel under --quantize, which must not
+        # leak into the K/V pool dtype
+        if isinstance(self.params, dict) and "wte" in self.params:
+            return self.params["wte"].dtype
         return jax.tree_util.tree_leaves(self.params)[0].dtype
 
     def _init_state(self):

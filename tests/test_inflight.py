@@ -205,6 +205,26 @@ def test_engine_tp_sharded_matches_unsharded():
     assert tp == plain
 
 
+def test_engine_composes_with_w4_quantized_params():
+    """--quantize w4 + --serve_inflight: the engine on a weight-quantized
+    tree must match the whole-batch greedy decoder on the SAME tree (both
+    route through models/common.linear's kernel_q dispatch)."""
+    from frozenbilm_tpu.ops.quant import quantize_tree
+
+    cfg, vt, params = _toy_neo()
+    qp = jax.jit(lambda p: quantize_tree(p, mode="w4"))(params)
+    rng = np.random.default_rng(9)
+    eng = InflightEngine(qp, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8,), eos_token_id=None)
+    assert eng.state["k"].dtype != jnp.int8  # pool stays activation-dtype
+    ids = rng.integers(3, 64, size=6).astype(np.int32)
+    t = eng.submit(ids, max_new_tokens=6)
+    eng.drain()
+    want = _reference_tokens("gptneo", cfg, vt, qp, ids, eng.buckets,
+                             6, None)
+    assert _get(t)["tokens"] == want
+
+
 def test_engine_rejects_oversized_requests():
     cfg, vt, params = _toy_neo()
     eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=32,
