@@ -945,6 +945,12 @@ def main():
     import jax
 
     small = os.environ.get("FROZENBILM_BENCH_SMALL", "") == "1"
+    if small:
+        # small mode exists only as a CPU smoke of the harness itself;
+        # without this it claims the TPU and hangs through outages
+        from frozenbilm_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
     # the axon (remote-TPU) claim can lag minutes after another process
     # released the chip (CLAUDE.md); ride out transient registration
     # failures instead of losing the whole bench run to one
