@@ -418,13 +418,16 @@ class InflightEngine:
     def submit(self, ids: np.ndarray, *, video: Optional[np.ndarray] = None,
                video_mask: Optional[np.ndarray] = None,
                max_new_tokens: int = 16,
-               temperature: float = 0.0) -> "queue.Queue":
+               temperature: float = 0.0,
+               stream: bool = False) -> "queue.Queue":
         """Enqueue one request. ids is the UNPADDED (T,) int prompt; it is
         left-padded to the smallest bucket here (left so the prefill's
         last-position logits sit on the final real token, matching the
-        whole-batch decoders). Returns a one-shot queue delivering
-        {"tokens": [...generated, eos included...]} or {"error": ...}."""
-        ticket: "queue.Queue" = queue.Queue(maxsize=1)
+        whole-batch decoders). Returns a queue delivering the final
+        {"tokens": [...generated, eos included...]} or {"error": ...};
+        with stream=True, incremental {"delta": [...]} messages precede
+        the final one."""
+        ticket: "queue.Queue" = queue.Queue(maxsize=0 if stream else 1)
         ids = np.asarray(ids, np.int32).reshape(-1)
         b = _bucket_for(len(ids), self.buckets)
         delay = self.vt.max_feats if (video is not None
@@ -459,7 +462,7 @@ class InflightEngine:
             "ids": padded, "am": am, "video": video, "vmask": video_mask,
             "max_new": int(max_new_tokens),
             "temperature": float(temperature), "ticket": ticket,
-            "out": [],
+            "out": [], "stream": bool(stream),
         })
         with self._lock:
             self.stats["requests"] += 1
@@ -516,21 +519,31 @@ class InflightEngine:
 
     def _emit(self, slot: int, toks: List[int]):
         """Append generated tokens to a slot's output; finish on eos or
-        budget exhaustion (eos kept, like the whole-batch decoders)."""
+        budget exhaustion (eos kept, like the whole-batch decoders).
+
+        Streaming requests (submit(stream=True)) additionally get a
+        {"delta": [...]} message per engine iteration that produced
+        tokens, then the usual final {"tokens": [...]} once done."""
         req = self._slots[slot]
         if req is None:
             return
+        delta = []
+        done = False
         for tok in toks:
             req["out"].append(int(tok))
+            delta.append(int(tok))
             with self._lock:
                 self.stats["tokens"] += 1
             done = (self.eos is not None and tok == self.eos) or \
                 len(req["out"]) >= req["max_new"]
             if done:
-                req["ticket"].put({"tokens": req["out"]})
-                self._slots[slot] = None
-                self._active[slot] = False
-                return
+                break
+        if req.get("stream") and delta:
+            req["ticket"].put({"delta": delta})
+        if done:
+            req["ticket"].put({"tokens": req["out"]})
+            self._slots[slot] = None
+            self._active[slot] = False
 
     def step_once(self) -> bool:
         """One engine iteration: admit -> chunk-decode -> retire. Returns

@@ -297,6 +297,11 @@ class GenService:
             raise ValueError(
                 "server decodes with beam search; per-request "
                 "'temperature' is not applicable (omit it or send 0)")
+        if payload.get("stream") and not getattr(self, "supports_stream",
+                                                 False):
+            # the window batcher decodes the whole batch to completion —
+            # only the in-flight engine emits tokens incrementally
+            raise ValueError("'stream' requires --serve_inflight")
         feats = payload.get("video_features")
         if feats is not None:
             arr = np.asarray(feats, np.float32)
@@ -414,11 +419,9 @@ class InflightGenService:
         self._thread.join(timeout=10)
         self.engine.close()
 
-    def submit_payload(self, payload: Dict) -> Dict:
-        want = min(int(payload.get("max_new_tokens", self.max_new)),
-                   self.max_new)
-        if want < 1:
-            return {"text": "", "tokens": []}
+    supports_stream = True
+
+    def _submit_to_engine(self, payload: Dict, want: int, stream: bool):
         enc = encode_batch(self.tokenizer, [payload["prompt"]],
                            self.args.max_tokens, left_pad=True)
         row = enc["input_ids"][0][enc["attention_mask"][0] == 1]
@@ -430,9 +433,22 @@ class InflightGenService:
             video, vlen = subsample_or_pad(arr, F)
             vmask = np.zeros(F, np.int32)
             vmask[:vlen] = 1
-        ticket = self.engine.submit(
+        return self.engine.submit(
             row, video=video, video_mask=vmask, max_new_tokens=want,
-            temperature=float(payload.get("temperature", 0.0)))
+            temperature=float(payload.get("temperature", 0.0)),
+            stream=stream)
+
+    def _trim(self, toks):
+        if self.eos is not None and self.eos in toks:
+            toks = toks[:toks.index(self.eos)]
+        return toks
+
+    def submit_payload(self, payload: Dict) -> Dict:
+        want = min(int(payload.get("max_new_tokens", self.max_new)),
+                   self.max_new)
+        if want < 1:
+            return {"text": "", "tokens": []}
+        ticket = self._submit_to_engine(payload, want, stream=False)
         try:
             # bounded wait: if the engine thread ever dies or a ticket is
             # stranded, the client gets a 500 instead of a hung connection
@@ -442,10 +458,47 @@ class InflightGenService:
                 f"generation timed out after {self.args.serve_timeout_s}s")
         if "error" in res:
             raise ValueError(res["error"])
-        toks = res["tokens"]
-        if self.eos is not None and self.eos in toks:
-            toks = toks[:toks.index(self.eos)]
+        toks = self._trim(res["tokens"])
         return {"text": self.tokenizer.decode(toks), "tokens": toks}
+
+    def stream_payload(self, payload: Dict, write) -> None:
+        """Incremental generation: call write(obj) once per engine delta
+        ({"delta_text", "delta_tokens"}) and once with the final
+        {"done": True, "text", "tokens"}. Text deltas are computed as
+        suffixes of the FULL decode so multi-byte/multi-token glyphs never
+        split mid-character."""
+        import time
+
+        want = min(int(payload.get("max_new_tokens", self.max_new)),
+                   self.max_new)
+        if want < 1:
+            write({"done": True, "text": "", "tokens": []})
+            return
+        ticket = self._submit_to_engine(payload, want, stream=True)
+        deadline = time.monotonic() + self.args.serve_timeout_s
+        sent: List[int] = []
+        prev_text = ""
+        while True:
+            try:
+                res = ticket.get(timeout=max(0.0,
+                                             deadline - time.monotonic()))
+            except queue.Empty:
+                raise RuntimeError(
+                    f"generation timed out after "
+                    f"{self.args.serve_timeout_s}s")
+            if "error" in res:
+                raise ValueError(res["error"])
+            if "delta" in res:
+                sent.extend(res["delta"])
+                text = self.tokenizer.decode(self._trim(list(sent)))
+                write({"delta_text": text[len(prev_text):],
+                       "delta_tokens": res["delta"]})
+                prev_text = text
+                continue
+            toks = self._trim(res["tokens"])
+            write({"done": True, "text": self.tokenizer.decode(toks),
+                   "tokens": toks})
+            return
 
 
 class _InflightBatcher:
@@ -464,12 +517,22 @@ class _InflightBatcher:
 
         t0 = time.perf_counter()
         result = self.service.submit_payload(payload)
+        self._record(time.perf_counter() - t0)
+        return result
+
+    def submit_stream(self, payload: Dict, write) -> None:
+        import time
+
+        t0 = time.perf_counter()
+        self.service.stream_payload(payload, write)
+        self._record(time.perf_counter() - t0)
+
+    def _record(self, dt: float) -> None:
         with self._lock:
             self.n_requests += 1
-            self._latencies.append(time.perf_counter() - t0)
+            self._latencies.append(dt)
             if len(self._latencies) > 1000:
                 del self._latencies[:-1000]
-        return result
 
     def stats(self) -> Dict:
         eng = self.service.engine
@@ -570,6 +633,10 @@ class _Batcher:
 
 def make_handler(batcher: _Batcher, service):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (streaming /generate) requires HTTP/1.1; every
+        # non-streaming reply carries Content-Length, so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -607,10 +674,39 @@ def make_handler(batcher: _Batcher, service):
                 service.validate(payload)
             except ValueError as e:
                 return self._reply(400, {"error": str(e)})
+            if payload.get("stream"):
+                return self._reply_stream(payload)
             try:
                 self._reply(200, batcher.submit(payload))
             except Exception as e:
                 self._reply(500, {"error": repr(e)})
+
+        def _reply_stream(self, payload: Dict):
+            """Chunked NDJSON: one JSON line per token delta, then the
+            final {"done": true, ...} line. Errors after the 200 header
+            arrive as an {"error": ...} line (the status is already on
+            the wire)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write(obj: Dict):
+                data = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                batcher.submit_stream(payload, write)
+            except Exception as e:  # noqa: BLE001 — report on-stream
+                try:
+                    write({"error": repr(e)})
+                except OSError:
+                    pass  # client hung up mid-stream
+            try:
+                self.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                pass
 
     return Handler
 

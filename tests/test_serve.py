@@ -365,6 +365,30 @@ def test_serve_generate_inflight(gen_env):
     finally:
         spec_server.shutdown()
 
+    # streaming: chunked NDJSON deltas whose concatenation equals the
+    # non-streaming result; rejected without --serve_inflight
+    str_server, str_url = start(["--serve_inflight", "2",
+                                 "--serve_inflight_chunk", "2"])
+    try:
+        req = urllib.request.Request(
+            f"{str_url}/generate",
+            json.dumps({"prompt": "a dog sits", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers.get("Content-Type") == "application/x-ndjson"
+            lines = [json.loads(ln) for ln in r.read().splitlines() if ln]
+        assert lines[-1].get("done") is True
+        deltas = [ln for ln in lines[:-1] if "delta_tokens" in ln]
+        assert len(deltas) >= 2  # 5 tokens / chunk 2 -> >= 3 emissions
+        joined = [t for d in deltas for t in d["delta_tokens"]]
+        # deltas include eos if emitted; the final line is trimmed
+        assert joined[:len(lines[-1]["tokens"])] == lines[-1]["tokens"]
+        assert "".join(d["delta_text"] for d in deltas) == \
+            lines[-1]["text"]
+        assert lines[-1]["tokens"] == want[0][1]["tokens"]  # greedy-exact
+    finally:
+        str_server.shutdown()
+
     # beam + inflight is rejected at build time
     import pytest as _pytest
 
@@ -372,6 +396,14 @@ def test_serve_generate_inflight(gen_env):
         base + ["--serve_inflight", "2", "--serve_num_beams", "3"])
     with _pytest.raises(ValueError, match="serve_inflight"):
         build_server(args)
+
+    # stream without the engine is a 400
+    win2, win2_url = start([])
+    try:
+        s, o = post(win2_url, {"prompt": "a dog", "stream": True})
+        assert s == 400 and "serve_inflight" in o["error"]
+    finally:
+        win2.shutdown()
 
 
 def test_serve_quantized(serve_env):
