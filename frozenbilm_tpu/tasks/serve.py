@@ -177,6 +177,98 @@ class QAService:
         return out
 
 
+class MCService:
+    """Multiple-choice candidate scoring over HTTP (--serve_mc N): the
+    serving face of tasks/mc.py (reference mc.py:49-72 semantics — one
+    forward per candidate, prompt "Question: ... Is it '<ai>'? [MASK]",
+    score = P("Yes") at the mask from the 2-answer {Yes, No} head).
+
+    POST /mc {"question": str, "candidates": [str, ...],
+              "subtitles": str?, "video_features": ...?}
+        -> {"scores": [float, ...], "pred": int}
+
+    The candidate count is static (it shapes the compiled (B, mc, L)
+    program): requests may send 1..N candidates; short lists are padded by
+    repeating the last candidate and the scores sliced back."""
+
+    endpoint = "/mc"
+
+    def __init__(self, args):
+        from frozenbilm_tpu.tasks.mc import make_mc_steps
+
+        self.args = args
+        self.tokenizer = get_tokenizer(args)
+        args.n_ans = 2  # {Yes, No} (reference mc.py:252)
+        bundle = build_model(args)
+        params = _load_serving_params(args, bundle)
+        a2tok = answers_to_token_ids(self.tokenizer, ["Yes", "No"],
+                                     args.max_atokens)
+        params = bundle.set_answer_embeddings(params, a2tok)
+        self.params = _finalize_params(args, bundle, params)
+        self.bundle = bundle
+        self.batch_size = args.batch_size_val
+        self.mc = args.serve_mc
+        _, self._eval_step = make_mc_steps(
+            bundle, self.tokenizer.mask_token_id, self.mc)
+
+    def validate(self, payload: Dict) -> None:
+        if not isinstance(payload.get("question"), str) or not payload["question"]:
+            raise ValueError("missing 'question'")
+        cands = payload.get("candidates")
+        if (not isinstance(cands, list) or not cands
+                or not all(isinstance(c, str) and c for c in cands)):
+            raise ValueError("'candidates' must be a non-empty list of "
+                             "strings")
+        if len(cands) > self.mc:
+            raise ValueError(f"server scores at most {self.mc} candidates "
+                             f"(--serve_mc); got {len(cands)}")
+        feats = payload.get("video_features")
+        if feats is not None:
+            arr = np.asarray(feats, np.float32)
+            if arr.ndim != 2 or arr.shape[1] != self.args.features_dim:
+                raise ValueError(
+                    f"video_features must be (n_frames, {self.args.features_dim})")
+
+    def score(self, requests: List[Dict]) -> List[Dict]:
+        from frozenbilm_tpu.data.prompts import mc_prompt
+        from frozenbilm_tpu.tasks.mc import _encode_candidates
+
+        n = len(requests)
+        B = self.batch_size
+        reqs = requests + [requests[-1]] * (B - n)
+        # candidate-major text layout, mc_collate convention
+        texts = [[None] * B for _ in range(self.mc)]
+        for b, r in enumerate(reqs):
+            cands = list(r["candidates"])
+            cands += [cands[-1]] * (self.mc - len(cands))
+            sub = r.get("subtitles") or ""
+            for c in range(self.mc):
+                texts[c][b] = mc_prompt(
+                    normalize_question(r["question"]), cands[c],
+                    self.tokenizer.mask_token, self.args.prefix,
+                    self.args.suffix, sub, use_context=bool(sub))
+        ids, am = _encode_candidates(self.tokenizer, texts, self.args)
+        F, D = self.args.max_feats, self.args.features_dim
+        video = np.zeros((B, F, D), np.float32)
+        vmask = np.zeros((B, F), np.int32)
+        for i, r in enumerate(reqs):
+            feats = r.get("video_features")
+            if feats:
+                arr = np.asarray(feats, np.float32).reshape(-1, D)
+                sub_v, vlen = subsample_or_pad(arr, F)
+                video[i], vmask[i, :vlen] = sub_v, 1
+        p_yes = np.asarray(self._eval_step(
+            self.params, jnp.asarray(ids), jnp.asarray(am),
+            jnp.asarray(video), jnp.asarray(vmask)))  # (B, mc)
+        out = []
+        for i in range(n):
+            k = len(requests[i]["candidates"])
+            scores = [float(s) for s in p_yes[i, :k]]
+            out.append({"scores": scores,
+                        "pred": int(np.argmax(p_yes[i, :k]))})
+        return out
+
+
 class GenService:
     """AR text generation: KV-cache decode (ONE prefill + lax.scan steps)
     with per-request temperature riding the batch as a (B,) array.
@@ -741,6 +833,10 @@ def build_server(args) -> ThreadingHTTPServer:
         service = GenService(args)
         # warm the compile before accepting traffic
         service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])
+    elif getattr(args, "serve_mc", 0):
+        service = MCService(args)
+        service.score([{"question": "what is happening?",
+                        "candidates": ["nothing"]}])
     else:
         service = QAService(args)
         service.score([{"question": "what is happening?", "topk": 1}])
@@ -790,6 +886,10 @@ def get_serve_parser():
     parser.add_argument("--serve_inflight_chunk", type=int, default=4,
                         help="in-flight engine: decode tokens per compiled "
                              "chunk between admission/retirement points")
+    parser.add_argument("--serve_mc", type=int, default=0,
+                        help="serve multiple-choice scoring at /mc for "
+                             "encoder models: compiled for this many "
+                             "candidates per question (0 = serve /qa)")
     parser.add_argument("--serve_timeout_s", type=float, default=600.0,
                         help="in-flight serving: bound each request's wait "
                              "on the engine (a dead engine yields a 500, "

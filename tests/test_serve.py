@@ -18,7 +18,7 @@ def serve_env(tmp_path_factory):
     model_dir.mkdir()
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
              "question", "answer", "what", "is", "this", "doing",
-             "cat", "dog", "bird", "park", "?", "."]
+             "cat", "dog", "bird", "park", "?", ".", "yes", "no", "it", "'"]
     (model_dir / "vocab.txt").write_text("\n".join(vocab))
     json.dump({
         "vocab_size": len(vocab), "hidden_size": 32, "num_hidden_layers": 2,
@@ -404,6 +404,52 @@ def test_serve_generate_inflight(gen_env):
         assert s == 400 and "serve_inflight" in o["error"]
     finally:
         win2.shutdown()
+
+
+def test_serve_mc(serve_env):
+    """--serve_mc: multiple-choice candidate scoring at /mc (reference
+    mc.py semantics: P('Yes') at the mask per candidate), short candidate
+    lists padded internally, validation rejects empty/oversized lists."""
+    server, url = _server(serve_env, extra=["--serve_mc", "4"])
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"{url}/mc", json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["endpoint"] == "/mc"
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(5, 16)).astype(np.float32).tolist()
+        s, o = post({"question": "what is this", "video_features": feats,
+                     "candidates": ["cat", "dog", "bird"]})
+        assert s == 200 and len(o["scores"]) == 3
+        assert all(0.0 <= p <= 1.0 for p in o["scores"])
+        assert o["pred"] == int(np.argmax(o["scores"]))
+        # deterministic across calls; padding (3 < mc=4) doesn't leak
+        s2, o2 = post({"question": "what is this", "video_features": feats,
+                       "candidates": ["cat", "dog", "bird"]})
+        assert s2 == 200 and o2["scores"] == o["scores"]
+        # full list and subtitles path
+        s3, o3 = post({"question": "what is the dog doing",
+                       "subtitles": "the dog is in the park",
+                       "candidates": ["cat", "dog", "bird", "park"]})
+        assert s3 == 200 and len(o3["scores"]) == 4
+        # validation
+        s4, o4 = post({"question": "x", "candidates": []})
+        assert s4 == 400 and "candidates" in o4["error"]
+        s5, o5 = post({"question": "x",
+                       "candidates": ["a", "b", "c", "d", "e"]})
+        assert s5 == 400 and "at most 4" in o5["error"]
+        s6, _ = post({"candidates": ["a"]})
+        assert s6 == 400
+    finally:
+        server.shutdown()
 
 
 def test_serve_quantized(serve_env):
