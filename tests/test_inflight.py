@@ -309,6 +309,32 @@ def test_engine_speculative_gptj_kv_int8():
         assert _get(ticket)["tokens"] == want
 
 
+def test_engine_randomized_schedule_stress():
+    """Seeded fuzz of the scheduler: random prompt lengths, budgets, and
+    arrival points interleaved with engine iterations — every ticket must
+    resolve, and every greedy row must match the whole-batch decoder."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(11)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=3, max_len=64,
+                         chunk=3, prompt_buckets=(8, 16), eos_token_id=None)
+    pending = []
+    for i in range(8):
+        ids = rng.integers(3, 64, size=int(rng.integers(3, 15))).astype(
+            np.int32)
+        mn = int(rng.integers(1, 9))
+        pending.append((ids, mn, eng.submit(ids, max_new_tokens=mn)))
+        # random amount of engine progress between arrivals
+        for _ in range(int(rng.integers(0, 3))):
+            eng.step_once()
+    eng.drain()
+    for ids, mn, ticket in pending:
+        want = _reference_tokens("gptneo", cfg, vt, params, ids,
+                                 eng.buckets, mn, None)
+        got = _get(ticket)["tokens"]
+        assert got == want, (ids.tolist(), mn)
+    assert eng.stats["requests"] == 8 and eng.stats["admissions"] == 8
+
+
 def test_engine_step_failure_frees_inflight_requests():
     """A raising device step must not strand in-flight tickets: every live
     request gets the error, the pool is rebuilt, and the NEXT request
