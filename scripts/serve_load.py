@@ -248,6 +248,13 @@ def main():
         try:
             _post(url, "/generate", gen_payload(0))
             r = _load(url, "/generate", gen_payload, GEN_CLIENTS, DURATION_S)
+            stats = json.loads(urllib.request.urlopen(
+                f"{url}/stats", timeout=30).read())
+            # engine variants: occupancy + realized speculation win
+            for key in ("engine_avg_occupancy", "engine_tokens_per_step",
+                        "engine_admissions", "engine_failures"):
+                if key in stats:
+                    r[key] = stats[key]
             results[f"generate_{variant}_w10ms"] = r
             print(f"# generate {variant}: {r}", flush=True)
         finally:
