@@ -506,10 +506,22 @@ class InflightGenService:
             target=self.engine.run_forever, args=(self._stop,), daemon=True)
         self._thread.start()
 
-    def close(self):
+    def close(self, drain_s: float = 10.0):
+        import time
+
+        # graceful drain: let in-flight rows finish (the engine thread is
+        # still stepping) before stopping it; whatever remains after the
+        # deadline gets an error instead of a stranded ticket
+        deadline = time.monotonic() + drain_s
+        eng = self.engine
+        while ((eng._active.any() or not eng._waiting.empty())
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
         self._stop.set()
         self._thread.join(timeout=10)
-        self.engine.close()
+        if eng._active.any() or not eng._waiting.empty():
+            eng._fail_inflight(RuntimeError("server shutting down"))
+        eng.close()
 
     supports_stream = True
 
