@@ -348,6 +348,8 @@ def _decode_many(params, cfg, k_cache, v_cache, step_mask, toks, tstart,
     rotary at each token's absolute cache slot, scaled attention with the
     causal-fill -> scale -> pad-mask order of the full forward, parallel
     attn+ff residual. Supports int8 {"q","s"} caches."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     import math as _math
 
     B, K = toks.shape
@@ -436,6 +438,8 @@ def gptj_speculative_cached(params, cfg, vt, *, video, video_mask,
     ops/speculative.py for the scheme). Token-EXACT vs
     gptj_greedy_cached; each lax.while_loop iteration emits
     1 + accepted-draft tokens for the weight traffic of one step."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     from frozenbilm_tpu.ops.speculative import (accept_greedy, lookup_draft,
                                                 mask_after_eos)
 
@@ -550,6 +554,8 @@ def gptj_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     temperature/top_k/top_p + rng select sampled decoding (ops/sampling.py,
     the HF warper stack of the vendored generate); temperature 0 = greedy.
     """
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     from frozenbilm_tpu.ops.sampling import select_token
 
     def select(logits, step):
@@ -627,6 +633,8 @@ def gptj_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else (B, R, T + max_new_tokens); with return_scores=True also the
     length-penalized sequence scores ((B,) or (B, R)).
     """
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     from frozenbilm_tpu.ops.sampling import (beam_finalize, beam_init,
                                              beam_update)
 
@@ -718,6 +726,8 @@ def gptj_prefill(params, cfg, vt, *, video, video_mask, input_ids,
     answer scoring (SURVEY.md §3.4). Cached k are post-rotary, so answer
     queries only need their own rotary rows (absolute positions L0+q,
     matching gptj_forward's 0..L-1 tables)."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     out = gptj_forward(params, cfg, vt, input_ids, attention_mask,
                        video, video_mask, return_kv=True)
     use_video = vt.features_dim and video is not None
@@ -743,6 +753,8 @@ def gptj_score_with_prefix(params, cfg, prefix, target_ids):
     batch). Honors GPT-J specifics: rotary at absolute positions L0+q,
     scale-after-causal-fill fp32 attention (gptj.py:180-184), parallel
     residual (gptj.py:326)."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     C, L2 = target_ids.shape
     B = prefix["key_mask"].shape[0]
     L0 = prefix["key_mask"].shape[1]

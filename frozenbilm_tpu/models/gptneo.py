@@ -408,6 +408,8 @@ def _decode_many(params, cfg, k_cache, v_cache, step_mask, toks, tstart,
     Weight traffic equals ONE single-token step — that is the whole
     speculative bet on a bandwidth-bound decode. Supports int8 {"q","s"}
     caches like _decode_one."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     B, K = toks.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     Lmax = step_mask.shape[1]
@@ -496,6 +498,8 @@ def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
     TPU-native serving extension (greedy only — sampled acceptance would
     need the rejection-sampling correction).
     """
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     from frozenbilm_tpu.ops.speculative import (accept_greedy, lookup_draft,
                                                 mask_after_eos)
 
@@ -619,6 +623,8 @@ def gptneo_greedy_cached(params, cfg, vt, *, video, video_mask, input_ids,
     layers see only the last window_size absolute positions
     (gptneo.py:159-176).
     """
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     B, T = input_ids.shape
     use_video = vt.features_dim and video is not None
     delay = vt.max_feats if use_video else 0
@@ -697,6 +703,8 @@ def gptneo_beam_cached(params, cfg, vt, *, video, video_mask, input_ids,
     else (B, R, T + max_new_tokens); with return_scores=True also the
     length-penalized sequence scores ((B,) or (B, R)).
     """
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     from frozenbilm_tpu.ops.sampling import (beam_finalize, beam_init,
                                              beam_update)
 
@@ -790,6 +798,8 @@ def gptneo_prefill(params, cfg, vt, *, video, video_mask, input_ids,
     Returns dict with per-layer k/v (layers, B, nh, L0, hd), the full
     prefix key mask (B, L0), the next genpos per row (B,), and the
     last-position probs (B, V) — P(first answer token | prompt)."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     out = _forward_with_genpos(params, cfg, vt, input_ids, attention_mask,
                                video, video_mask, return_kv=True)
     use_video = vt.features_dim and video is not None
@@ -823,6 +833,8 @@ def gptneo_score_with_prefix(params, cfg, prefix, target_ids):
     self-attention over the L2-1 fed answer tokens. Positions continue the
     per-row genpos cumsum; local layers honor the absolute-index sliding
     window (gptneo.py:159-176); attention stays UNSCALED fp32."""
+    from frozenbilm_tpu.ops.quant import thaw_w4
+    params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
     C, L2 = target_ids.shape
     B = prefix["key_mask"].shape[0]
     L0 = prefix["key_mask"].shape[1]

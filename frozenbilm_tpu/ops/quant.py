@@ -80,6 +80,18 @@ def quantize_linear_params_w4(p: Dict, group_size: int = W4_GROUP) -> Dict:
     is bandwidth-bound, not FLOP-bound, so the s8 MXU rate is irrelevant
     there (bench.py decode roofline).
 
+    STORAGE IS int8, NOT int4: on the v5e backend a jit-produced S4 array
+    is unusable at every program boundary — feeding it to the next jitted
+    program requests a relayout, and device_put-with-Format of an S4 array
+    re-enters jit dispatch ("Recursively calling jit" RecursionError);
+    device-to-host of the tiled S4 buffer is UNIMPLEMENTED; even a no-op
+    device_put with the array's own Format recurses (probed on-chip,
+    2026-08-18 — see CLAUDE.md). So the tree at rest holds the int4 VALUES
+    in int8, and consumers convert to real int4 INSIDE their traced
+    program: `thaw_w4` once at decode entries (hoists the convert above
+    the token loop, so every decode step still reads packed S4 from HBM),
+    plus a use-site fallback in `linear_w4` for single-shot forwards.
+
     Like the int8 form, stacked scan kernels (n_layers, in, out) get
     independent per-layer scales and lax.scan slices kernel_q4/scale
     together.
@@ -92,14 +104,39 @@ def quantize_linear_params_w4(p: Dict, group_size: int = W4_GROUP) -> Dict:
         wg = w.reshape(lead + (k // g, g, w.shape[-1]))
         scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2), 1e-8) * (1.0 / 7.0)
         q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7.0, 7.0)
-        q = q.astype(jnp.int4).reshape(w.shape)
+        q = q.astype(jnp.int8).reshape(w.shape)
     else:
         scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8) * (1.0 / 7.0)
-        q = jnp.clip(jnp.round(w / scale[..., None, :]), -7.0, 7.0).astype(jnp.int4)
+        q = jnp.clip(jnp.round(w / scale[..., None, :]), -7.0, 7.0).astype(jnp.int8)
     out = {"kernel_q4": q, "scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
+
+
+def thaw_w4(params: Dict) -> Dict:
+    """Convert int8-stored w4 kernels to real int4 — INSIDE a traced program.
+
+    Call this once at the top of a jitted decode entry (gptneo/gptj cached
+    decoders): the int8->int4 convert then sits ABOVE the token loop, XLA
+    materializes the packed S4 tensor once per program call, and every
+    decode step reads 0.5 bytes/weight from HBM. The S4 tensor never
+    crosses a program boundary (see quantize_linear_params_w4: jit-output
+    S4 arrays are radioactive on this backend). No-op for unquantized /
+    int8-W8A8 trees.
+    """
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if name == "kernel_q4" and getattr(child, "dtype", None) == jnp.int8:
+                out[name] = child.astype(jnp.int4)
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
 
 
 def linear_w4(p: Dict, x: jax.Array) -> jax.Array:
@@ -119,6 +156,11 @@ def linear_w4(p: Dict, x: jax.Array) -> jax.Array:
     the exact grouped dequantization, with no dequantized weight tensor.
     """
     q = p["kernel_q4"]
+    if q.dtype == jnp.int8:
+        # int8-at-rest tree used without an entry thaw (single-shot eval
+        # forwards): convert at the use site. Inside a decode loop this
+        # would read int8/step — decode entries call thaw_w4 instead.
+        q = q.astype(jnp.int4)
     scale = p["scale"]
     # XLA:CPU's DotThunk can't execute a convert-fed bf16 x bf16 -> f32 dot
     # (tests and dryruns run there); TPU is the real target and keeps bf16

@@ -284,7 +284,9 @@ def test_linear_w4_matches_explicit_grouped_dequant():
     p = {"kernel": jnp.asarray(rng.normal(size=(256, 96)), jnp.float32) * 0.05,
          "bias": jnp.asarray(rng.normal(size=(96,)), jnp.float32)}
     q = quantize_linear_params_w4(p)
-    assert q["kernel_q4"].dtype == jnp.int4
+    # int8 at rest: jit-output S4 is unusable at program boundaries on the
+    # TPU backend; decode entries thaw to real int4 in-program (ops/quant)
+    assert q["kernel_q4"].dtype == jnp.int8
     assert q["scale"].shape == (2, 96)  # K=256, group=128 -> G=2
     x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
     got = np.asarray(linear_w4(q, x))
@@ -334,7 +336,7 @@ def test_quantize_tree_w4_scopes_and_stacks():
     q = quantize_tree(params, mask, min_features=64, mode="w4")
     assert is_quantized(q) and not is_quantized(params)
     self_p = q["encoder"]["layers"]["attention"]["self"]
-    assert self_p["qkv_proj"]["kernel_q4"].dtype == jnp.int4
+    assert self_p["qkv_proj"]["kernel_q4"].dtype == jnp.int8
     # toy hidden=128 -> K=128 == group -> per-channel stacked scales
     assert self_p["qkv_proj"]["scale"].shape == (
         cfg.num_hidden_layers, 3 * cfg.hidden_size)
@@ -517,3 +519,31 @@ def test_kv_int8_beam_and_gptj_run():
     ref = np.asarray(gptj_greedy_cached(jparams, jcfg, vt, **kw))
     got = np.asarray(gptj_greedy_cached(jparams, jcfg, vt, kv_int8=True, **kw))
     assert got.shape == ref.shape and (ref == got).mean() > 0.9
+
+
+def test_thaw_w4_in_program_and_idempotent():
+    """int8-at-rest w4 trees: thaw_w4 converts kernel_q4 leaves to real
+    int4 (inside a trace), is a no-op on everything else and on already-
+    thawed trees, and linear_w4 computes identically from either form."""
+    from frozenbilm_tpu.ops.quant import (linear_w4, quantize_linear_params_w4,
+                                          thaw_w4)
+
+    rng = np.random.default_rng(21)
+    p = {"kernel": jnp.asarray(rng.normal(size=(256, 96)), jnp.float32) * 0.05,
+         "bias": jnp.asarray(rng.normal(size=(96,)), jnp.float32)}
+    q = {"proj": quantize_linear_params_w4(p),
+         "ln": {"scale": jnp.ones((96,))}}
+    assert q["proj"]["kernel_q4"].dtype == jnp.int8
+
+    t = thaw_w4(q)
+    assert t["proj"]["kernel_q4"].dtype == jnp.int4
+    assert t["proj"]["scale"] is q["proj"]["scale"]
+    assert t["ln"]["scale"] is q["ln"]["scale"]
+    t2 = thaw_w4(t)  # idempotent: int4 leaves pass through untouched
+    assert t2["proj"]["kernel_q4"] is t["proj"]["kernel_q4"]
+
+    x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+    frozen = np.asarray(linear_w4(q["proj"], x))      # use-site fallback
+    thawed = np.asarray(jax.jit(lambda qq, xx: linear_w4(
+        thaw_w4(qq)["proj"], xx))(q, x))              # in-program thaw
+    np.testing.assert_allclose(frozen, thawed, rtol=1e-6, atol=1e-6)
