@@ -734,6 +734,13 @@ def bench_speculative_decode(small: bool):
             # step means speculation pays whenever acceptance > 1/step
             "verify_step_cost_ratio": round(
                 (dt / max(steps, 1)) / (dt_g / new_tokens), 3),
+            # machinery ceiling: emitted/step at FULL acceptance is
+            # n_draft+1, so the best realizable speedup on this hardware is
+            # (n_draft+1)/cost_ratio — random-init weights never echo the
+            # prompt (acceptance ~1/step here), real QA checkpoints do
+            "speedup_at_full_acceptance": round(
+                (n_draft + 1)
+                / max((dt / max(steps, 1)) / (dt_g / new_tokens), 1e-9), 2),
         }
     return out
 
@@ -843,7 +850,9 @@ def bench_train(small: bool):
             vocab_size=cfg.vocab_size, pad_token_id=cfg.pad_token_id,
             mlm_probability=0.15, remat=remat)
         tx = optax.adamw(1.5e-5)
-        try:
+        transient = ("remote_compile", "FAILED_PRECONDITION", "HTTP 5")
+        for attempt in range(2):
+          try:
             trainer, state, frozen = make_trainer_and_state(
                 loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
             from frozenbilm_tpu.train.optim import train_key
@@ -883,8 +892,16 @@ def bench_train(small: bool):
                 # (shape, dtype) combos must not void the timing data
                 "loss_first": round(warm, 4), "loss_final": round(final, 4),
             }
-        except Exception as e:
+            break
+          except Exception as e:
             out[name] = {"error": repr(e)[:300]}
+            # the axon compile helper occasionally 500s / the tunnel drops a
+            # claim mid-compile (CLAUDE.md) — retry the variant ONCE on
+            # those signatures, never on real program errors
+            if attempt == 0 and any(s in repr(e) for s in transient):
+                time.sleep(30)
+                continue
+            break
     return out
 
 

@@ -163,7 +163,7 @@ def skew_select_rect(A, key_len: int):
     FLOPs and the pad/reshape copy traffic shrink by ~(L+C)/2L, and the
     peak (B, H, C, L+C-1) temp is C/L of the full-skew one (the full
     (B, H, L, 2L-1) f32 temp was 3.75 GB at the MC shape L=512, B=80 and
-    OOM'd the remat variant — docs/measurements/mc_profile_r3.json).
+    OOM'd the remat variant — measured on-chip by scripts/mc_profile.py).
     Proof of the flatten trick: flat index of T[i, j] is
     i*(M+1) + (C-1) - i + j = i*M + (C-1) + j with M = key_len+C-1, so one
     pad column, a slice at offset C-1, and an (C, M) reshape realign rows.
