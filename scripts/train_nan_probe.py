@@ -12,6 +12,13 @@ aliasing rules):
                                                  does training then continue?
   D. base at lr=0                             -> pure fwd/bwd numerics vs
                                                  optimizer update path
+  E. base, bench fetch pattern (warm fetch,
+     then STEPS-1 back-to-back donated steps,
+     fetch only the last)                     -> async-pipelining artifact of
+                                                 the unfetched donation chain
+                                                 over the tunnel?
+After each run the trainable params + opt state are scanned for non-finites
+(how far the corruption propagated).
 
 Writes /tmp/train_nan_probe.json.
 """
@@ -74,13 +81,24 @@ def run(name, *, premem: bool, skip_nonfinite: bool = False, lr: float = 1.5e-5,
     t0 = time.time()
     for i in range(STEPS):
         state, metrics = trainer.train_step(state, frozen, batch, key)
-        if fetch_every_step or i == STEPS - 1:
+        if fetch_every_step or i == 0 or i == STEPS - 1:
             losses.append(float(metrics["loss"]))
             extras.append({k: float(v) for k, v in metrics.items()
                            if k != "loss" and jnp.ndim(v) == 0})
+    # scan trainable params + opt state for non-finites (corruption reach)
+    def count_nonfinite(tree):
+        tot = 0
+        for leaf in jax.tree.leaves(tree):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                tot += int(jnp.sum(~jnp.isfinite(leaf.astype(jnp.float32))))
+        return tot
+    nf_params = count_nonfinite(state.trainable)
+    nf_opt = count_nonfinite(state.opt_state)
     rec = {"name": name, "premem": premem, "skip_nonfinite": skip_nonfinite,
-           "lr": lr, "losses": [round(x, 4) for x in losses],
+           "lr": lr, "fetch_every_step": fetch_every_step,
+           "losses": [round(x, 4) for x in losses],
            "metrics_last": extras[-1] if extras else {},
+           "nonfinite_params": nf_params, "nonfinite_opt": nf_opt,
            "wall_s": round(time.time() - t0, 1)}
     print(rec, flush=True)
     return rec
@@ -93,6 +111,7 @@ def main():
         ("B_base_nopremem", dict(premem=False)),
         ("C_skip_nonfinite", dict(premem=True, skip_nonfinite=True)),
         ("D_lr0", dict(premem=True, lr=0.0)),
+        ("E_bench_pattern", dict(premem=True, fetch_every_step=False)),
     ):
         try:
             out["runs"].append(run(name, **kw))
