@@ -566,6 +566,106 @@ def bench_gptj6b(small: bool):
     return out
 
 
+def bench_gptj6b_decode(small: bool):
+    """GPT-J-6B KV-cache greedy decode on ONE chip (VERDICT r3 next #7):
+    the one-chip-6B *serving* roofline. Same methodology as
+    bench_greedy_decode (bytes/step = weights + KV at mean context over
+    measured step time vs peak HBM bandwidth), but params per VARIANT are
+    built and freed sequentially — bf16 (12GB) + int8 (6GB) + w4 (3GB)
+    cannot coexist in v5e's 16GB HBM. Reference: gptj.py:421-454 (the
+    multi-GPU device_map this replaces)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frozenbilm_tpu.config import GPTJConfig, VideoTextConfig
+    from frozenbilm_tpu.models.gptj import gptj_greedy_cached, init_gptj_params
+    from frozenbilm_tpu.ops.quant import quantize_tree
+
+    if small:
+        cfg = GPTJConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                         num_heads=4, rotary_dim=8,
+                         max_position_embeddings=128)
+        T, F, new_tokens, feat_dim = 8, 4, 4, 32
+        batches = {"bf16": (2,), "int8": (2,), "w4": (2,), "w4_kv8": (2,)}
+    else:
+        cfg = GPTJConfig()  # gpt-j-6B
+        T, F, new_tokens, feat_dim = 64, 10, 32, 768
+        batches = {"bf16": (8, 16), "int8": (8, 16, 32),
+                   "w4": (8, 32), "w4_kv8": (8, 32)}
+
+    vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
+                         ds_factor_attn=0, ds_factor_ff=0, n_ans=0)
+    shapes = jax.eval_shape(
+        lambda k: init_gptj_params(k, cfg, vt), jax.random.PRNGKey(0))
+    try:
+        bw = peak_hbm_bw(jax.devices()[0].device_kind)
+    except Exception:  # noqa: BLE001
+        bw = None
+    rng = np.random.default_rng(0)
+
+    def build(name):
+        if name == "bf16":
+            return _random_tree_like(
+                jax.random.PRNGKey(1), shapes, lambda s: jnp.bfloat16)
+        mode = "w8a8" if name == "int8" else "w4"
+        qshapes = jax.eval_shape(
+            lambda p: quantize_tree(p, mode=mode), shapes)
+        return _random_tree_like(
+            jax.random.PRNGKey(2), qshapes,
+            lambda s: s.dtype if s.dtype == jnp.int8 else jnp.bfloat16)
+
+    out = {}
+    for name in ("bf16", "int8", "w4", "w4_kv8"):
+        kv8 = name.endswith("_kv8")
+        try:
+            params = build(name)
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": repr(e)[:300]}
+            gc.collect()
+            continue
+        wbytes = tree_bytes(params)
+        res = {"weight_bytes_gb": round(wbytes / 1e9, 3)}
+        for B in batches[name]:
+            try:
+                ids = jnp.asarray(
+                    rng.integers(5, cfg.vocab_size, size=(B, T)))
+                am = jnp.ones((B, T), jnp.int32)
+                video = jnp.asarray(
+                    rng.normal(size=(B, F, feat_dim)), jnp.bfloat16)
+                vm = jnp.ones((B, F), jnp.int32)
+                gen = jax.jit(lambda p, v, m, i, a: gptj_greedy_cached(
+                    p, cfg, vt, video=v, video_mask=m, input_ids=i,
+                    attention_mask=a, max_new_tokens=new_tokens,
+                    kv_int8=kv8))
+                _ = np.asarray(gen(params, video, vm, ids, am))
+                t0 = time.perf_counter()
+                toks = np.asarray(gen(params, video, vm, ids, am))
+                dt = time.perf_counter() - t0
+                assert toks.shape == (B, T + new_tokens)
+                mean_ctx = F + T + new_tokens / 2
+                kv_elt = (1.0 + 4.0 / cfg.head_dim) if kv8 else 2.0
+                kv = (2 * cfg.hidden_size * kv_elt * mean_ctx
+                      * cfg.num_layers * B)
+                bytes_step = wbytes + kv
+                dt_step = dt / new_tokens
+                leg = {"tokens_per_sec": round(B * new_tokens / dt, 2),
+                       "decode_steps_per_sec": round(new_tokens / dt, 2),
+                       "bytes_per_step_gb": round(bytes_step / 1e9, 3)}
+                if bw:
+                    leg["hbm_roofline_pct"] = round(
+                        100.0 * bytes_step / dt_step / bw, 1)
+                res[f"B{B}"] = leg
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                res[f"B{B}"] = {"error": repr(e)[:200]}
+        out[name] = res
+        del params
+        gc.collect()
+    return out
+
+
 def bench_greedy_decode(small: bool):
     """KV-cache greedy decode throughput (gptneo_greedy_cached): one prefill
     + N single-token scan steps. Decode is HBM-bandwidth-bound (every step
@@ -758,6 +858,45 @@ def bench_speculative_decode(small: bool):
                 (n_draft + 1)
                 / max((dt / max(steps, 1)) / (dt_g / new_tokens), 1e-9), 2),
         }
+
+    # acceptance-CONTROLLED curve (VERDICT r3 next #5): random-init weights
+    # never echo a prompt, so the natural/copy legs can't show speculation
+    # paying. Feed an ORACLE draft source = the model's own greedy output,
+    # corrupted per-token with probability (1 - p). Emitted tokens stay
+    # greedy-exact for every p (wrong drafts are rejected and the true
+    # token emitted as bonus — asserted below); only the acceptance rate is
+    # steered. p=1.0 is the measured full-acceptance ceiling.
+    ids = jnp.asarray(natural)
+    ref = np.asarray(greedy(params, video, vm, ids, am))
+    t0 = time.perf_counter()
+    _ = np.asarray(greedy(params, video, vm, ids, am))
+    dt_g = time.perf_counter() - t0
+    true_cont = ref[:, T:]  # (B, new_tokens) the model's own continuation
+    spec_o = jax.jit(lambda p, v, m, i, a, orc: gptneo_speculative_cached(
+        p, cfg, vt, video=v, video_mask=m, input_ids=i, attention_mask=a,
+        max_new_tokens=new_tokens, n_draft=n_draft, return_stats=True,
+        draft_oracle=orc))
+    curve = {}
+    for p_acc in (1.0, 0.9, 0.75, 0.5):
+        noise = rng.random(true_cont.shape) > p_acc
+        oracle = jnp.asarray(
+            np.where(noise, (true_cont + 1) % cfg.vocab_size, true_cont))
+        _ = np.asarray(spec_o(params, video, vm, ids, am, oracle)[0])
+        t0 = time.perf_counter()
+        toks, stats = spec_o(params, video, vm, ids, am, oracle)
+        toks = np.asarray(toks)
+        dt = time.perf_counter() - t0
+        assert (toks == ref).all(), "oracle-draft decode lost greedy parity"
+        steps = int(np.asarray(stats["steps"]))
+        emitted = int(np.asarray(stats["emitted"]).sum())
+        curve[f"p{p_acc}"] = {
+            "tokens_per_sec": round(B * new_tokens / dt, 2),
+            "speedup_vs_greedy": round(dt_g / dt, 3),
+            "verify_steps": steps,
+            "emitted_per_step": round(emitted / max(B * steps, 1), 2),
+        }
+    out["oracle_acceptance_curve"] = {
+        "greedy_tokens_per_sec": round(B * new_tokens / dt_g, 2), **curve}
     return out
 
 
@@ -1071,6 +1210,9 @@ def main():
     # default ON (VERDICT r2 next #3); FROZENBILM_BENCH_6B=0 opts out
     gptj6b = (bench_gptj6b(small)
               if os.environ.get("FROZENBILM_BENCH_6B", "1") != "0" else None)
+    gptj6b_dec = (bench_gptj6b_decode(small)
+                  if os.environ.get("FROZENBILM_BENCH_6B", "1") != "0"
+                  else None)
 
     qa_per_sec = deberta["qa_pairs_per_sec"]
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -1168,6 +1310,7 @@ def main():
                         if "prefix" in r else {})}
                     if "error" not in r else r)
                 for v, r in gptj6b.items()}} if gptj6b else {}),
+            **({"gptj6b_greedy_decode": gptj6b_dec} if gptj6b_dec else {}),
     }
 
     # The driver archives only a ~4KB tail of stdout and parses the last
@@ -1226,6 +1369,19 @@ def main():
         **({"gptj6b": {v: _leg(r, "answers_per_sec", "mfu")
                        for v, r in full_extra["gptj6b_ar_scoring"].items()}}
            if "gptj6b_ar_scoring" in full_extra else {}),
+        **({"spec_curve": {
+            k: v.get("speedup_vs_greedy")
+            for k, v in full_extra["gptneo13_speculative_decode"]
+            ["oracle_acceptance_curve"].items() if isinstance(v, dict)}}
+           if isinstance(full_extra.get("gptneo13_speculative_decode"), dict)
+           and "oracle_acceptance_curve"
+           in full_extra["gptneo13_speculative_decode"] else {}),
+        **({"gptj6b_decode": {
+            v: max((b.get("tokens_per_sec", 0)
+                    for b in r.values() if isinstance(b, dict)), default=0)
+            for v, r in full_extra["gptj6b_greedy_decode"].items()
+            if isinstance(r, dict) and "error" not in r}}
+           if "gptj6b_greedy_decode" in full_extra else {}),
         "full_results": "docs/measurements/bench_full_latest.json",
     }
     line = json.dumps({

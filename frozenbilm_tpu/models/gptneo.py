@@ -484,7 +484,8 @@ def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
                               eos_token_id: Optional[int] = None,
                               pad_token_id: int = 0,
                               kv_int8: bool = False,
-                            return_stats: bool = False):
+                              return_stats: bool = False,
+                              draft_oracle: Optional[jax.Array] = None):
     """Greedy decode with prompt-lookup speculative verification
     (ops/speculative.py): each lax.while_loop iteration proposes n_draft
     continuation tokens by bigram lookup over [prompt || generated], feeds
@@ -497,6 +498,15 @@ def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
     The reference's vendored generate has no speculative mode; this is a
     TPU-native serving extension (greedy only — sampled acceptance would
     need the rejection-sampling correction).
+
+    draft_oracle: optional (B, >= max_new_tokens) token array replacing the
+    prompt-lookup DRAFT source: at row state n the proposed continuation is
+    oracle[n : n+n_draft]. Output tokens remain greedy-EXACT regardless of
+    oracle content (wrong drafts are rejected by verification and the true
+    token is emitted as the bonus) — this only steers the acceptance rate,
+    which is what makes acceptance-controlled benchmarking possible
+    (bench.py speculative leg: oracle = the model's own greedy output,
+    corrupted with a known per-token error probability).
     """
     from frozenbilm_tpu.ops.quant import thaw_w4
     params = thaw_w4(params)  # int8-at-rest w4 -> S4 once, above the token loop
@@ -554,10 +564,20 @@ def gptneo_speculative_cached(params, cfg, vt, *, video, video_mask,
     def body(carry):
         kc, vc, km, out, n, l1, l2, unf, iters = carry
         active = unf & (n < max_new_tokens)
-        hist = jnp.concatenate([input_ids, out], axis=1)
-        hvalid = jnp.concatenate(
-            [attention_mask.astype(bool), gen_idx < n[:, None]], axis=1)
-        drafts = lookup_draft(hist, hvalid, l2, l1, K - 1)
+        if draft_oracle is None:
+            hist = jnp.concatenate([input_ids, out], axis=1)
+            hvalid = jnp.concatenate(
+                [attention_mask.astype(bool), gen_idx < n[:, None]], axis=1)
+            drafts = lookup_draft(hist, hvalid, l2, l1, K - 1)
+        else:
+            oracle = jnp.pad(
+                draft_oracle.astype(out.dtype),
+                [(0, 0), (0, max(0, max_new_tokens + K
+                                 - draft_oracle.shape[1]))],
+                constant_values=pad_token_id)
+            oidx = n[:, None] + kk[:, : K - 1]  # positions n .. n+K-2
+            drafts = jnp.take_along_axis(
+                oracle, jnp.minimum(oidx, oracle.shape[1] - 1), axis=1)
         u = jnp.concatenate([l1[:, None], drafts], axis=1)  # (B, K)
         t = L0 + n - 1  # (B,) per-row write start
         step_mask = jnp.maximum(

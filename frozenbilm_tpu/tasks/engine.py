@@ -124,7 +124,11 @@ class InflightEngine:
         self._nprev = np.zeros(self.S, dtype=np.int64)  # spec: tokens read
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
-                      "occupancy_sum": 0, "admissions": 0, "failures": 0}
+                      "occupancy_sum": 0, "admissions": 0, "failures": 0,
+                      # spec mode: emitted tokens / per-row verify steps —
+                      # the realized acceptance the speculative bet depends
+                      # on (serve.py's auto-off monitor reads these)
+                      "spec_emitted": 0, "spec_row_steps": 0}
 
     # -- device state -----------------------------------------------------
 
@@ -517,6 +521,18 @@ class InflightEngine:
         self._emit(slot, [first])
         return True
 
+    def realized_acceptance(self):
+        """(acceptance, row_steps): emitted tokens per per-row verify step
+        in spec mode, cumulative. Speculation pays iff this exceeds the
+        verify-step cost ratio (a K-token verify step vs a 1-token plain
+        step — ~1.1x on v5e, bench.py speculative leg); serve.py's auto-off
+        monitor swaps to a plain engine when it durably does not."""
+        with self._lock:
+            steps = self.stats["spec_row_steps"]
+            if not self.spec or steps == 0:
+                return None, steps
+            return self.stats["spec_emitted"] / steps, steps
+
     def _emit(self, slot: int, toks: List[int]):
         """Append generated tokens to a slot's output; finish on eos or
         budget exhaustion (eos kept, like the whole-batch decoders).
@@ -572,11 +588,17 @@ class InflightEngine:
             self.stats["occupancy_sum"] += int(self._active.sum()) * self.C
         if self.spec:
             out, n = np.asarray(toks[0]), np.asarray(toks[1])
+            emitted_now = row_steps_now = 0
             for slot in range(self.S):
                 if self._active[slot]:
                     new = out[slot, self._nprev[slot]:n[slot]]
                     self._nprev[slot] = n[slot]
+                    emitted_now += len(new)
+                    row_steps_now += self.C
                     self._emit(slot, new.tolist())
+            with self._lock:
+                self.stats["spec_emitted"] += emitted_now
+                self.stats["spec_row_steps"] += row_steps_now
         else:
             toks = np.asarray(toks)  # (S, C)
             for slot in range(self.S):

@@ -486,8 +486,7 @@ class InflightGenService:
             buckets.append(b)
             b *= 2
         buckets.append(args.max_tokens)
-        self.engine = InflightEngine(
-            self.params, bundle.cfg, bundle.vt, family_of(args.model_name),
+        self._engine_kwargs = dict(
             slots=args.serve_inflight,
             max_len=delay + args.max_tokens + self.max_new,
             chunk=args.serve_inflight_chunk, prompt_buckets=buckets,
@@ -495,16 +494,88 @@ class InflightGenService:
             pad_token_id=self.eos if self.eos is not None else 0,
             top_k=args.serve_top_k, top_p=args.serve_top_p,
             kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
-            rng_seed=args.seed, spec_draft=self.n_spec,
-            max_new_cap=self.max_new)
+            rng_seed=args.seed, max_new_cap=self.max_new)
+        self._family = family_of(args.model_name)
+        self._engine_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list = []
+        self.spec_disabled_at = None  # acceptance that triggered auto-off
+        self.engine = self._start_engine(self.n_spec)
+        # speculation is a bet on workload acceptance; when the realized
+        # rate stays below the verify-step cost, serving auto-swaps to a
+        # plain engine ONCE after a warmup window (VERDICT r3 next #5)
+        if self.n_spec and getattr(args, "serve_spec_auto_off_steps", 0):
+            t = threading.Thread(target=self._spec_monitor, daemon=True)
+            t.start()
+            self._threads.append((None, t, None))
+
+    def _start_engine(self, spec_draft: int):
+        from frozenbilm_tpu.tasks.engine import InflightEngine
+
+        engine = InflightEngine(
+            self.params, self.bundle.cfg, self.bundle.vt, self._family,
+            spec_draft=spec_draft, **self._engine_kwargs)
         # compile EVERY admission bucket (+ video variants) and the step
         # program before the serving thread exists — a first-use compile
         # inside the loop would stall all in-flight slots
-        self.engine.warm(with_video=bool(args.features_dim))
-        self._stop = threading.Event()
-        self._thread = threading.Thread(
-            target=self.engine.run_forever, args=(self._stop,), daemon=True)
-        self._thread.start()
+        engine.warm(with_video=bool(self.args.features_dim))
+        # every engine gets its own stoppable thread (the auto-off swap
+        # stops the spec engine's thread without shutting the service down)
+        stop = threading.Event()
+        thread = threading.Thread(target=self._engine_loop,
+                                  args=(engine, stop), daemon=True)
+        thread.start()
+        self._threads.append((engine, thread, stop))
+        return engine
+
+    def _engine_loop(self, engine, stop: "threading.Event"):
+        import time
+
+        while not (stop.is_set() or self._stop.is_set()):
+            try:
+                worked = engine.step_once()
+            except Exception as e:  # noqa: BLE001 — keep serving
+                engine._fail_inflight(e)
+                worked = False
+            if not worked and not engine._active.any():
+                time.sleep(0.002)
+
+    def _spec_monitor(self):
+        """Decide ONCE, after the warmup window, whether speculation pays
+        on this workload; if not, swap in a plain engine. New requests
+        route to the new engine immediately; the old one drains then
+        stops. The decision threshold is emitted-tokens-per-verify-step
+        (engine.realized_acceptance) vs --serve_spec_min_accept."""
+        import time
+
+        window = int(self.args.serve_spec_auto_off_steps)
+        floor = float(getattr(self.args, "serve_spec_min_accept", 1.3))
+        while not self._stop.is_set():
+            time.sleep(0.1)
+            acc, steps = self.engine.realized_acceptance()
+            if steps < window:
+                continue
+            if acc is not None and acc < floor:
+                old_rec = self._threads[-1] if self._threads else None
+                old = self.engine
+                new_engine = self._start_engine(0)
+                with self._engine_lock:
+                    self.engine = new_engine
+                    self.spec_disabled_at = round(acc, 3)
+                # drain the spec engine, then stop its thread
+                deadline = time.monotonic() + 30
+                while ((old._active.any() or not old._waiting.empty())
+                       and time.monotonic() < deadline):
+                    time.sleep(0.05)
+                for eng, th, ev in self._threads:
+                    if eng is old and ev is not None:
+                        ev.set()
+                        th.join(timeout=10)
+                if old._active.any() or not old._waiting.empty():
+                    old._fail_inflight(RuntimeError(
+                        "speculation auto-off swap timed out"))
+                old.close()
+            return  # one decision per serving process (keep or drop)
 
     def close(self, drain_s: float = 10.0):
         import time
@@ -513,12 +584,14 @@ class InflightGenService:
         # still stepping) before stopping it; whatever remains after the
         # deadline gets an error instead of a stranded ticket
         deadline = time.monotonic() + drain_s
-        eng = self.engine
+        with self._engine_lock:
+            eng = self.engine
         while ((eng._active.any() or not eng._waiting.empty())
                and time.monotonic() < deadline):
             time.sleep(0.05)
         self._stop.set()
-        self._thread.join(timeout=10)
+        for rec_eng, th, _ in self._threads:
+            th.join(timeout=10)
         if eng._active.any() or not eng._waiting.empty():
             eng._fail_inflight(RuntimeError("server shutting down"))
         eng.close()
@@ -666,6 +739,15 @@ class _InflightBatcher:
                     0, eng.stats["tokens"] - eng.stats["admissions"])
                 out["engine_tokens_per_step"] = round(
                     spec_tokens / eng.stats["occupancy_sum"], 3)
+            if eng.spec and eng.stats["spec_row_steps"]:
+                out["spec_realized_acceptance"] = round(
+                    eng.stats["spec_emitted"]
+                    / eng.stats["spec_row_steps"], 3)
+        if getattr(self.service, "spec_disabled_at", None) is not None:
+            # the auto-off monitor swapped to a plain engine: the measured
+            # acceptance that failed --serve_spec_min_accept
+            out["spec_auto_disabled_at_acceptance"] = (
+                self.service.spec_disabled_at)
         return out
 
 
@@ -840,8 +922,10 @@ def build_server(args) -> ThreadingHTTPServer:
                     # leaks a polling thread plus an S x Lmax KV pool
                     service.close()
 
-            return _InflightServer((args.serve_host, args.port),
-                                   make_handler(batcher, service))
+            srv = _InflightServer((args.serve_host, args.port),
+                                  make_handler(batcher, service))
+            srv.service = service  # tests/monitors reach the engine here
+            return srv
         service = GenService(args)
         # warm the compile before accepting traffic
         service.score([{"prompt": "what is happening?", "max_new_tokens": 1}])
@@ -898,6 +982,17 @@ def get_serve_parser():
     parser.add_argument("--serve_inflight_chunk", type=int, default=4,
                         help="in-flight engine: decode tokens per compiled "
                              "chunk between admission/retirement points")
+    parser.add_argument("--serve_spec_auto_off_steps", type=int, default=512,
+                        help="in-flight + speculative: after this many "
+                             "per-row verify steps, auto-swap to a plain "
+                             "engine if realized acceptance (emitted "
+                             "tokens/verify step) is below "
+                             "--serve_spec_min_accept (0 = never)")
+    parser.add_argument("--serve_spec_min_accept", type=float, default=1.3,
+                        help="acceptance floor for the speculative bet: a "
+                             "verify step costs ~1.1x a plain step on v5e "
+                             "(bench.py verify_step_cost_ratio), so below "
+                             "~1.3 emitted/step speculation loses")
     parser.add_argument("--serve_mc", type=int, default=0,
                         help="serve multiple-choice scoring at /mc for "
                              "encoder models: compiled for this many "

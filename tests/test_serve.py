@@ -459,3 +459,70 @@ def test_serve_quantized(serve_env):
         assert status == 200 and len(out["answers"]) == 4
     finally:
         server.shutdown()
+
+
+def test_serve_spec_auto_off(gen_env):
+    """Speculation auto-off (VERDICT r3 next #5): when realized acceptance
+    stays below --serve_spec_min_accept after the warmup window, the
+    in-flight service swaps to a plain (spec_draft=0) engine ONCE; new
+    requests keep serving greedy-exact tokens and /stats records the
+    acceptance that triggered the swap."""
+    import time as _time
+
+    from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
+
+    base = [
+        "--combine_datasets", "none", "--combine_datasets_val", "none",
+        "--model_name", "gpt-neo-1p3b",
+        "--tokenizer_path", str(gen_env),
+        "--features_dim", "16", "--max_feats", "4", "--max_tokens", "16",
+        "--batch_size_val", "2", "--serve_host", "127.0.0.1", "--port", "0",
+        "--serve_max_new_tokens", "6",
+    ]
+
+    def post(url, payload, timeout=60):
+        req = urllib.request.Request(
+            f"{url}/generate", json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+
+    def start(extra):
+        args = get_serve_parser().parse_args(base + extra)
+        server = build_server(args)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+    win_server, win_url = start([])
+    try:
+        want = post(win_url, {"prompt": "a dog sits"})
+    finally:
+        win_server.shutdown()
+
+    # an impossible acceptance floor guarantees the swap fires as soon as
+    # the (tiny) warmup window fills
+    server, url = start(["--serve_inflight", "2",
+                         "--serve_inflight_chunk", "2",
+                         "--serve_speculative", "3",
+                         "--serve_spec_auto_off_steps", "4",
+                         "--serve_spec_min_accept", "100.0"])
+    try:
+        svc = server.service
+        assert svc.engine.spec == 3
+        s, o = post(url, {"prompt": "a dog sits"})
+        assert s == 200 and o["tokens"] == want[1]["tokens"]
+        deadline = _time.monotonic() + 120
+        while svc.spec_disabled_at is None and _time.monotonic() < deadline:
+            post(url, {"prompt": "a dog sits"})
+            _time.sleep(0.05)
+        assert svc.spec_disabled_at is not None, "auto-off never fired"
+        assert svc.engine.spec == 0  # plain engine swapped in
+        # the swapped-in engine still serves exact greedy tokens
+        s, o = post(url, {"prompt": "a dog sits"})
+        assert s == 200 and o["tokens"] == want[1]["tokens"]
+        with urllib.request.urlopen(f"{url}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert "spec_auto_disabled_at_acceptance" in stats
+    finally:
+        server.shutdown()

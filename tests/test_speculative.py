@@ -207,3 +207,47 @@ def test_gptj_speculative_matches_greedy():
             attention_mask=am, max_new_tokens=10, eos_token_id=None,
             n_draft=5, kv_int8=kv8))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_oracle_drafts_exact_and_acceptance_controlled():
+    """draft_oracle replaces the lookup drafter with an injected token
+    stream (the acceptance-controlled bench mode, VERDICT r3 next #5).
+    Invariants: (a) emitted tokens stay greedy-exact for ANY oracle —
+    perfect, corrupted, or garbage; (b) a perfect oracle (the model's own
+    greedy continuation) reaches full acceptance: ceil(new/(n_draft+1))
+    verify steps; (c) a corrupted oracle takes strictly more steps."""
+    from frozenbilm_tpu.models.gptneo import (gptneo_greedy_cached,
+                                              gptneo_speculative_cached)
+
+    cfg, vt, params = _toy()
+    rng = np.random.default_rng(7)
+    B, T, new, nd = 2, 10, 12, 4
+    ids = jnp.asarray(rng.integers(3, 64, size=(B, T)))
+    am = jnp.ones((B, T), jnp.int32)
+    video = jnp.asarray(rng.normal(size=(B, 4, 16)), jnp.float32)
+    vm = jnp.ones((B, 4), jnp.int32)
+    ref = np.asarray(gptneo_greedy_cached(
+        params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+        attention_mask=am, max_new_tokens=new))
+    true_cont = ref[:, T:]
+
+    def run(oracle):
+        toks, stats = gptneo_speculative_cached(
+            params, cfg, vt, video=video, video_mask=vm, input_ids=ids,
+            attention_mask=am, max_new_tokens=new, n_draft=nd,
+            return_stats=True, draft_oracle=jnp.asarray(oracle))
+        return np.asarray(toks), int(np.asarray(stats["steps"]))
+
+    toks_p, steps_p = run(true_cont)  # perfect oracle
+    np.testing.assert_array_equal(toks_p, ref)
+    assert steps_p == -(-new // (nd + 1)), steps_p  # full acceptance
+
+    corrupted = true_cont.copy()
+    corrupted[:, 1::3] = (corrupted[:, 1::3] + 1) % 64
+    toks_c, steps_c = run(corrupted)
+    np.testing.assert_array_equal(toks_c, ref)
+    assert steps_c > steps_p
+
+    garbage = rng.integers(3, 64, size=(B, new))
+    toks_g, _ = run(garbage)
+    np.testing.assert_array_equal(toks_g, ref)
