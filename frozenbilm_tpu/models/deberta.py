@@ -279,7 +279,7 @@ def _disentangled_attention(
     # round to q.dtype immediately (the convert fuses into the dot epilogue).
     # In bf16 this halves HBM traffic AND peak footprint of every (B,H,L,L)
     # and (B,H,L,band) temp — at L=512 the f32 pipeline needed ~12 GB of
-    # attention temps and spilled (docs/measurements/mc_profile_r3.json);
+    # attention temps and spilled (docs/measurements/mc_profile_r4.json);
     # softmax still reduces in f32 internally (ops/masking.masked_softmax).
     # Parity tests run f32 activations, where all of this is a no-op.
     adt = q.dtype
@@ -533,7 +533,7 @@ def _encoder_forward(
         # Query/key-chunked skew: bounds the selection temp to
         # (B, H, C, L+C-1) and cuts its FLOPs+copies ~(L+C)/2L (the full
         # skew's (B, H, L, 2L-1) temp is what cratered the L=512 MC shape
-        # to 14 TF/s and OOM'd remat — docs/measurements/mc_profile_r3.json).
+        # to 14 TF/s and OOM'd remat — docs/measurements/mc_profile_r4.json).
         # FROZENBILM_SKEW_CHUNK=0 forces the unchunked skew; any other int
         # forces that chunk size.
         env_chunk = os.environ.get("FROZENBILM_SKEW_CHUNK", "")

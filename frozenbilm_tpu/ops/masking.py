@@ -13,8 +13,11 @@ instead of on the host per batch.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Large negative filler standing in for -inf: exp(x - max) flushes to exactly
 # 0.0 in float32 for differences this large, matching the reference's
@@ -39,7 +42,56 @@ def masked_softmax(scores: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Ar
     `mask` is 1 for valid positions, 0 for ignored; broadcastable to `scores`.
     Fully-masked rows return all zeros (not NaN), matching the reference's
     post-softmax zeroing (deberta.py:124-132).
+
+    Carries a custom VJP: dx = p * (g - sum(p * g)) in f32 — the reference's
+    XSoftmax backward (torch._softmax_backward_data, deberta.py:135-138).
+    Besides skipping the exp/div recompute chains of the autodiff transpose,
+    this is a CORRECTNESS fix on real TPU: XLA's fused transpose of the
+    where/exp/max formulation below produced non-finite gradients from the
+    first backward pass inside the 24-layer encoder-scan transpose (CPU and
+    rematerialized schedules were clean — the fault is schedule-dependent;
+    bisected by docs/measurements/grad_nan_probe{,2}_r4.json: plain-softmax
+    and remat variants clean, everything else NaN from layer 23 down).
+    Masked positions have p == 0, so their cotangent contribution vanishes
+    exactly, fully-masked rows included.
     """
+    return _masked_softmax_for_axis(axis)(scores, mask)
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_softmax_for_axis(axis: int):
+    """One custom-VJP closure per (static) axis — sidesteps nondiff_argnums
+    argument-order pitfalls; the cache keeps jit tracing keyed on function
+    identity stable across calls."""
+
+    @jax.custom_vjp
+    def f(scores, mask):
+        return _masked_softmax_fwd_impl(scores, mask, axis)
+
+    def fwd(scores, mask):
+        probs = _masked_softmax_fwd_impl(scores, mask, axis)
+        return probs, (probs, mask)
+
+    def bwd(res, g):
+        probs, mask = res  # probs.dtype == scores.dtype
+        pf = probs.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        inner = jnp.sum(pf * gf, axis=axis, keepdims=True)
+        dscores = (pf * (gf - inner)).astype(probs.dtype)
+        # mask is non-differentiable: int/bool masks take a float0 zero,
+        # float masks a zeros_like (the forward is constant in the mask
+        # away from the 0/1 switch points anyway)
+        if jnp.issubdtype(mask.dtype, jnp.floating):
+            dmask = jnp.zeros_like(mask)
+        else:
+            dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+        return dscores, dmask
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _masked_softmax_fwd_impl(scores, mask, axis):
     valid = mask.astype(jnp.bool_)
     # Internals run in f32 regardless of score dtype: summing hundreds of
     # bf16 exps loses mantissa bits, and XLA fuses the converts into the

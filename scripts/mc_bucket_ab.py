@@ -14,7 +14,10 @@ Writes FROZENBILM_AB_OUT (default /tmp/mc_bucket_ab.json).
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -97,6 +100,8 @@ def main():
     longest_dt = timed_batches(T_max, sum(n for _, n in population))
 
     rec = {
+        "device_kind": jax.devices()[0].device_kind,
+        "small": small,
         "population": [{"T": T, "batches": n} for T, n in population],
         "rows": total_rows,
         "bucketed_rows_per_sec": round(total_rows / bucketed_dt, 2),

@@ -47,7 +47,7 @@ def main():
     feat_dim, F = 768, 10
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
-    out = {}
+    out = {"device_kind": jax.devices()[0].device_kind}
     # fixed token budget ~40960 tokens: rows x (T + F) const
     for T, rows in ((54, 640), (118, 320), (246, 160), (502, 80)):
         S = T + F

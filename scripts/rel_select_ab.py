@@ -11,7 +11,10 @@ whenever the measured crossovers move).
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(mode: str, T: int = 64, B: int = 128):

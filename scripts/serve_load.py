@@ -5,19 +5,27 @@ req/s per (endpoint, precision, batching window).
 Configurations:
   - /qa      deberta-v2-xlarge 0.9B, bf16 and w8a8, windows {2, 10, 25} ms
   - /generate gpt-neo-1.3B KV-cache greedy: bf16, w8a8, w4+int8-KV, and
-    prompt-lookup speculative, window 10 ms
+    prompt-lookup speculative, window 10 ms; in-flight engine +- speculation
 
 Tokenizers are toy vocabs (real SPM/BPE assets are network-blocked, see
 ACCURACY.md); model dims, batch shapes, request payloads (10x768 video
 features) and the full HTTP->validate->batch->jit path are the production
 ones, so latency/throughput is representative.
 
-Run: bash scripts/tpu_run.sh scripts/serve_load.py
+Every leg runs in its OWN subprocess: the round-4 single-process run OOM'd
+HBM at the 8th model build (shut-down servers' params stay referenced by
+compiled programs) and lost the in-flight legs. The orchestrator merges
+each leg's record into the output file AS IT LANDS, so a later leg's crash
+cannot lose earlier data.
+
+Run: python scripts/serve_load.py            (orchestrates all legs)
+     python scripts/serve_load.py <leg>      (one leg, used internally)
 Writes /tmp/serve_load_r3.json.
 """
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import threading
@@ -31,6 +39,7 @@ QA_CLIENTS = 4 if SMALL else 32
 GEN_CLIENTS = 2 if SMALL else 8
 DURATION_S = 3.0 if SMALL else 20.0
 QA_WINDOWS = (2.0,) if SMALL else (2.0, 10.0, 25.0)
+OUT = os.environ.get("FROZENBILM_LOAD_OUT", "/tmp/serve_load_r3.json")
 
 
 def _mk_qa_env(root):
@@ -155,81 +164,26 @@ def _load(url, path, payload_fn, n_clients, duration_s):
     }
 
 
-def main():
-    if SMALL:  # CPU smoke of the harness itself
-        from frozenbilm_tpu.utils.platform import force_cpu
-
-        force_cpu(1)
-    import numpy as np
-
-    root = tempfile.mkdtemp(prefix="serve_load_")
-    qa_dir, ans_vocab = _mk_qa_env(root)
-    rng = np.random.default_rng(0)
-    feats = rng.normal(size=(10, 768)).astype(np.float32).tolist()
-    questions = ["what is the man doing", "what is this", "is the cat red",
-                 "what is the woman doing in the park"]
-
-    results = {}
-    base_qa = [
-        "--combine_datasets", "none", "--combine_datasets_val", "none",
-        "--model_name", "deberta-v2-xlarge", "--tokenizer_path", qa_dir,
-        "--msrvtt_vocab_path", ans_vocab,
-        "--max_feats", "10", "--features_dim", "768", "--max_tokens", "64",
-        "--batch_size_val", "16", "--serve_host", "127.0.0.1", "--port", "0",
-        "--param_dtype", "bfloat16",
-    ]
-
-    def qa_payload(i):
-        p = {"question": questions[i % len(questions)], "topk": 5}
-        if i % 2 == 0:
-            p["video_features"] = feats
-        return p
-
+def _legs():
+    """leg name -> (endpoint, server extra args)."""
+    legs = {}
     for variant, extra in (("bf16", []), ("int8", ["--quantize", "w8a8"])):
         for window in QA_WINDOWS:
-            server, url = _serve(
-                base_qa + extra + ["--serve_window_ms", str(window)])
-            try:
-                # warm the HTTP path before measuring
-                _post(url, "/qa", qa_payload(0))
-                r = _load(url, "/qa", qa_payload, QA_CLIENTS, DURATION_S)
-                _, stats = 200, json.loads(urllib.request.urlopen(
-                    f"{url}/stats", timeout=30).read())
-                r["server_batches"] = stats["batches"]
-                r["avg_batch"] = round(
-                    stats["requests"] / max(1, stats["batches"]), 1)
-                results[f"qa_{variant}_w{int(window)}ms"] = r
-                print(f"# qa {variant} w={window}ms: {r}", flush=True)
-            finally:
-                server.shutdown()
-
-    gen_dir = _mk_gen_env(root)
-    base_gen = [
-        "--combine_datasets", "none", "--combine_datasets_val", "none",
-        "--model_name", "gpt-neo-1p3b", "--tokenizer_path", gen_dir,
-        "--max_feats", "10", "--features_dim", "768", "--max_tokens", "32",
-        "--batch_size_val", "8", "--serve_host", "127.0.0.1", "--port", "0",
-        "--param_dtype", "bfloat16", "--serve_max_new_tokens", "16",
-        "--serve_window_ms", "10",
-    ]
-
-    def gen_payload(i):
-        p = {"prompt": questions[i % len(questions)], "max_new_tokens": 16}
-        if i % 2 == 0:
-            p["video_features"] = feats
-        return p
-
+            legs[f"qa_{variant}_w{int(window)}ms"] = (
+                "qa", extra + ["--serve_window_ms", str(window)])
     # decode is bandwidth-bound, so int8 weights are where W8A8 pays
-    # (bench.py decode leg: 1.34x steps/s at B=8) — measure both servings
+    # (bench.py decode leg) — measure the precision ladder plus both
+    # batching modes
     gen_variants = [("bf16", [])]
     if not SMALL:
-        gen_variants.append(("int8", ["--quantize", "w8a8"]))
-        # minimum-bytes decode: int4 weights + int8 KV cache
-        gen_variants.append(("w4kv8", ["--quantize", "w4",
-                                       "--serve_kv_int8", "1"]))
-        # prompt-lookup speculative greedy (token-exact; acceptance on
-        # these synthetic prompts is the pessimistic regime)
-        gen_variants.append(("spec", ["--serve_speculative", "7"]))
+        gen_variants += [
+            ("int8", ["--quantize", "w8a8"]),
+            # minimum-bytes decode: int4 weights + int8 KV cache
+            ("w4kv8", ["--quantize", "w4", "--serve_kv_int8", "1"]),
+            # prompt-lookup speculative greedy (token-exact; acceptance on
+            # these synthetic prompts is the pessimistic regime)
+            ("spec", ["--serve_speculative", "7"]),
+        ]
     # in-flight continuous batching (tasks/engine.py): requests join a
     # running decode at chunk boundaries instead of waiting for the window
     # batch to finish — the latency story under mixed arrival times
@@ -244,31 +198,135 @@ def main():
                               "--serve_inflight_chunk", "2",
                               "--serve_speculative", "5"]))
     for variant, extra in gen_variants:
-        server, url = _serve(base_gen + extra)
-        try:
-            _post(url, "/generate", gen_payload(0))
-            r = _load(url, "/generate", gen_payload, GEN_CLIENTS, DURATION_S)
-            stats = json.loads(urllib.request.urlopen(
-                f"{url}/stats", timeout=30).read())
+        legs[f"generate_{variant}_w10ms"] = ("generate", extra)
+    return legs
+
+
+def run_leg(name):
+    """One (server, load) measurement in this process; returns the record."""
+    if SMALL:  # CPU smoke of the harness itself
+        from frozenbilm_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
+    import numpy as np
+
+    endpoint, extra = _legs()[name]
+    root = tempfile.mkdtemp(prefix="serve_load_")
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(10, 768)).astype(np.float32).tolist()
+    questions = ["what is the man doing", "what is this", "is the cat red",
+                 "what is the woman doing in the park"]
+
+    if endpoint == "qa":
+        qa_dir, ans_vocab = _mk_qa_env(root)
+        base = [
+            "--combine_datasets", "none", "--combine_datasets_val", "none",
+            "--model_name", "deberta-v2-xlarge", "--tokenizer_path", qa_dir,
+            "--msrvtt_vocab_path", ans_vocab,
+            "--max_feats", "10", "--features_dim", "768",
+            "--max_tokens", "64", "--batch_size_val", "16",
+            "--serve_host", "127.0.0.1", "--port", "0",
+            "--param_dtype", "bfloat16",
+        ]
+
+        def payload(i):
+            p = {"question": questions[i % len(questions)], "topk": 5}
+            if i % 2 == 0:
+                p["video_features"] = feats
+            return p
+
+        path, n_clients = "/qa", QA_CLIENTS
+    else:
+        gen_dir = _mk_gen_env(root)
+        base = [
+            "--combine_datasets", "none", "--combine_datasets_val", "none",
+            "--model_name", "gpt-neo-1p3b", "--tokenizer_path", gen_dir,
+            "--max_feats", "10", "--features_dim", "768",
+            "--max_tokens", "32", "--batch_size_val", "8",
+            "--serve_host", "127.0.0.1", "--port", "0",
+            "--param_dtype", "bfloat16", "--serve_max_new_tokens", "16",
+            "--serve_window_ms", "10",
+        ]
+
+        def payload(i):
+            p = {"prompt": questions[i % len(questions)],
+                 "max_new_tokens": 16}
+            if i % 2 == 0:
+                p["video_features"] = feats
+            return p
+
+        path, n_clients = "/generate", GEN_CLIENTS
+
+    server, url = _serve(base + extra)
+    try:
+        _post(url, path, payload(0))  # warm the HTTP path before measuring
+        r = _load(url, path, payload, n_clients, DURATION_S)
+        stats = json.loads(urllib.request.urlopen(
+            f"{url}/stats", timeout=30).read())
+        if endpoint == "qa":
+            r["server_batches"] = stats["batches"]
+            r["avg_batch"] = round(
+                stats["requests"] / max(1, stats["batches"]), 1)
+        else:
             # engine variants: occupancy + realized speculation win
             for key in ("engine_avg_occupancy", "engine_tokens_per_step",
-                        "engine_admissions", "engine_failures"):
+                        "engine_admissions", "engine_failures",
+                        "engine_spec_enabled"):
                 if key in stats:
                     r[key] = stats[key]
-            results[f"generate_{variant}_w10ms"] = r
-            print(f"# generate {variant}: {r}", flush=True)
-        finally:
-            server.shutdown()
+        print(f"# {name}: {r}", flush=True)
+        return r
+    finally:
+        server.shutdown()
+
+
+def _merge(name, rec):
+    """Append one leg's record to OUT (read-modify-write; crash-safe)."""
+    try:
+        results = json.load(open(OUT))
+    except Exception:
+        results = {}
+    results[name] = rec
+    import jax
 
     # provenance stamp: a small-mode CPU smoke must never be mistaken for
     # an on-chip measurement when reading this file later
-    import jax
-
     results["_meta"] = {"device_kind": jax.devices()[0].device_kind,
                         "small": SMALL, "duration_s": DURATION_S}
-    with open("/tmp/serve_load_r3.json", "w") as f:
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results, f, indent=1)
-    print("# wrote /tmp/serve_load_r3.json", flush=True)
+    os.replace(tmp, OUT)
+
+
+def main():
+    if len(sys.argv) > 1:  # child: one leg, fresh HBM
+        name = sys.argv[1]
+        _merge(name, run_leg(name))
+        return
+
+    for name in _legs():
+        done = {}
+        try:
+            done = json.load(open(OUT))
+        except Exception:
+            pass
+        if name in done and "error" not in done[name]:
+            print(f"# {name}: already recorded, skipping", flush=True)
+            continue
+        for attempt in range(2):
+            p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                name], cwd=os.path.dirname(
+                                    os.path.dirname(os.path.abspath(__file__))))
+            if p.returncode == 0:
+                break
+            print(f"# {name}: child rc={p.returncode}"
+                  f" (attempt {attempt})", flush=True)
+            time.sleep(60)  # axon claim release lag
+        else:
+            _merge(name, {"error": f"child failed rc={p.returncode}"})
+        time.sleep(5 if SMALL else 60)  # claim release between chip procs
+    print(f"# wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":

@@ -200,3 +200,48 @@ def test_skew_select_rect_property():
     A = jnp.asarray(rng.normal(size=(5, 9)))
     np.testing.assert_array_equal(
         np.asarray(skew_select(A)), np.asarray(skew_select_rect(A, 5)))
+
+
+def test_masked_softmax_custom_vjp_matches_autodiff():
+    """masked_softmax carries a custom VJP (p*(g - sum(p*g)), the reference
+    XSoftmax backward) because XLA's fused autodiff transpose of the
+    where/exp formulation produced non-finite grads on real TPU
+    (grad_nan_probe2_r4). The custom backward must equal autodiff of a
+    plain where/softmax/zero reference on every mask pattern, fully-masked
+    rows included, in f32 and bf16."""
+    from frozenbilm_tpu.ops.masking import masked_softmax
+
+    def ref(scores, mask, axis=-1):
+        valid = mask.astype(bool)
+        filled = jnp.where(valid, scores.astype(jnp.float32), -1e30)
+        p = jax.nn.softmax(filled, axis=axis)
+        return (p * valid).astype(scores.dtype)
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(2, 3, 5, 5)) * 4, jnp.float32)
+    mask = np.ones((2, 1, 5, 5), np.int32)
+    mask[0, 0, :, 3:] = 0   # padded keys
+    mask[1, 0, 2, :] = 0    # fully-masked row
+    mask = jnp.asarray(mask)
+    cot = jnp.asarray(rng.normal(size=(2, 3, 5, 5)), jnp.float32)
+
+    out, vjp = jax.vjp(lambda s: masked_softmax(s, mask), scores)
+    out_r, vjp_r = jax.vjp(lambda s: ref(s, mask), scores)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp(cot)[0]),
+                               np.asarray(vjp_r(cot)[0]), atol=1e-5)
+
+    # bf16 scores: same path the 0.9B training step runs
+    sb = scores.astype(jnp.bfloat16)
+    out_b, vjp_b = jax.vjp(lambda s: masked_softmax(s, mask), sb)
+    g_b = vjp_b(cot.astype(jnp.bfloat16))[0]
+    assert g_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(g_b, np.float32), np.asarray(vjp_r(cot)[0]),
+        atol=3e-2, rtol=3e-2)
+    assert bool(jnp.all(jnp.isfinite(g_b.astype(jnp.float32))))
+
+    # grad wrt a FLOAT mask input must exist (zeros) rather than crash
+    gm = jax.grad(lambda m: masked_softmax(scores, m).sum())(
+        mask.astype(jnp.float32))
+    assert not np.asarray(gm).any()
