@@ -58,9 +58,12 @@ def main():
     vt = VideoTextConfig(features_dim=FEAT, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
     rng = np.random.default_rng(0)
-    loss_fn = make_mlm_loss_fn(
-        deberta_forward, cfg, vt, mask_token_id=4, vocab_size=cfg.vocab_size,
-        pad_token_id=cfg.pad_token_id, mlm_probability=0.15)
+
+    def mk_loss(remat):
+        return make_mlm_loss_fn(
+            deberta_forward, cfg, vt, mask_token_id=4,
+            vocab_size=cfg.vocab_size, pad_token_id=cfg.pad_token_id,
+            mlm_probability=0.15, remat=remat)
 
     # analytic FLOPs per item (same terms as bench.bench_train)
     h, inter = cfg.hidden_size, cfg.intermediate_size
@@ -86,13 +89,20 @@ def main():
                 rng.normal(size=(B, F, FEAT)), jnp.bfloat16),
             "video_mask": jnp.ones((B, F), jnp.int32),
         }
+        # attempts 0-1: plain loss (transient-retry); attempt 2: remat —
+        # round 4 found the B>=64 compile 500 is DETERMINISTIC (static HBM
+        # at B32 is already 12.9 GB of the v5e's 16; the backward's stored
+        # activations double per B doubling, so the compiler aborts). The
+        # knee table records which variant actually fit.
         for attempt in range(3):
+            remat = attempt == 2
             try:
                 params = jax.jit(lambda k: init_deberta_params(k, cfg, vt))(
                     jax.random.PRNGKey(0))
                 params = apply_param_dtype(params, vt, "bfloat16")
                 trainer, state, frozen = make_trainer_and_state(
-                    loss_fn, optax.adamw(1.5e-5), params, vt, mesh=None)
+                    mk_loss(remat), optax.adamw(1.5e-5), params, vt,
+                    mesh=None)
                 key = train_key(1, "threefry")
                 hbm_gb = 0.0
                 try:
@@ -116,13 +126,18 @@ def main():
                     "items_per_sec": round(B * steps / dt, 2),
                     "tflops": round(per_item * B * steps / dt / 1e12, 2),
                     "static_hbm_gb": round(hbm_gb, 2),
+                    "remat": remat,
                     "loss_first": first, "loss_last": last,
                 }
                 print(json.dumps({f"B{B}": out["sweep"][f"B{B}"]}),
                       flush=True)
                 break
             except Exception as e:  # noqa: BLE001
-                out["sweep"][f"B{B}"] = {"error": repr(e)[:300]}
+                out["sweep"][f"B{B}"] = {
+                    "error": repr(e)[:300],
+                    "error_full": repr(e)[:2500],
+                    "remat": remat,
+                }
                 if attempt < 2 and any(s in repr(e) for s in transient):
                     time.sleep(60)
                     continue
