@@ -937,7 +937,9 @@ def bench_train(small: bool):
         variants = (("base", False, 1),)
     else:
         cfg = DebertaV2Config()  # deberta-v2-xlarge (0.9B)
-        B, T, F, steps, feat_dim = 32, 64, 10, 6, 768
+        # 20 timed steps: the VERDICT r3 #1 done-criterion (every variant
+        # finite over >= 20 steps); compile dominates wall time anyway
+        B, T, F, steps, feat_dim = 32, 64, 10, 20, 768
         # base_b64 doubles the batch to locate the throughput knee;
         # base_rbg swaps the per-step random BITS (dropout masks over
         # (B, H, L, L) x 24 layers + MLM corruption draws) from threefry
@@ -1034,12 +1036,15 @@ def bench_train(small: bool):
                     pass
                 state, metrics = trainer.train_step(state, frozen, batch, key)
                 warm = float(metrics["loss"])  # compile + warmup barrier
+                loss_hist = []  # device arrays; fetched AFTER the timed loop
                 t0 = time.perf_counter()
                 for _ in range(steps):
                     state, metrics = trainer.train_step(
                         state, frozen, batch, key)
+                    loss_hist.append(metrics["loss"])
                 final = float(metrics["loss"])
                 dt = time.perf_counter() - t0
+                loss_hist = [float(x) for x in loss_hist]
                 mem = device_memory_stats()
                 out[name] = {
                     "steps_per_sec": round(steps / dt, 3),
@@ -1052,6 +1057,14 @@ def bench_train(small: bool):
                     # (shape, dtype) combos must not void the timing data
                     "loss_first": round(warm, 4),
                     "loss_final": round(final, 4),
+                    # VERDICT r3 #1 done-criterion fields: every per-step
+                    # loss finite across the >=20-step run, and trending down
+                    "losses_all_finite": bool(
+                        np.isfinite(np.asarray(loss_hist)).all()),
+                    "loss_trend_last5_minus_first5": round(
+                        float(np.mean(loss_hist[-5:])
+                              - np.mean(loss_hist[:5])), 4)
+                    if len(loss_hist) >= 10 else None,
                 }
                 break
             except Exception as e:

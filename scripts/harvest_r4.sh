@@ -22,9 +22,12 @@ copy_tpu_stamped() { # src dst
 }
 
 copy_tpu_stamped /tmp/train_xprof_r3.json  train_xprof_r4.json
-copy            /tmp/mc_bucket_ab.json     mc_bucket_ab_r4.json
+copy_tpu_stamped /tmp/mc_bucket_ab.json    mc_bucket_ab_r4.json
 copy_tpu_stamped /tmp/mc_profile.json      mc_profile_r4.json
 copy            /tmp/rel_ab_long_r3.json   rel_select_ab_long_r4.json
 copy_tpu_stamped /tmp/serve_load_r3.json   serve_load_r4.json
 copy_tpu_stamped /tmp/train_knee_r4.json   train_knee_r4.json
-copy_tpu_stamped /tmp/grad_nan_probe2.json grad_nan_probe2_r4.json 2>/dev/null || true
+copy_tpu_stamped /tmp/grad_nan_probe2.json grad_nan_probe2_r4.json
+copy_tpu_stamped /tmp/train_fix_proof.json train_fix_proof_r4.json
+copy_tpu_stamped /tmp/mc_hlo_attrib.json   mc_hlo_attrib_r4.json
+copy_tpu_stamped /tmp/bench_r4_stdout.json bench_r4_stdout.json

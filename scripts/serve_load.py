@@ -108,6 +108,29 @@ def _mk_gen_env(root):
     return model_dir
 
 
+def _mk_gptj_env(root):
+    """Toy byte-level vocab + REAL gpt-j-6B dims (the one-chip-6B serving
+    story: 12 GB bf16 weights + engine KV pool fit a single v5e)."""
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    model_dir = os.path.join(root, "gpt-j-6b")
+    os.makedirs(model_dir, exist_ok=True)
+    symbols = list(bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab["<|endoftext|>"] = len(vocab)
+    json.dump(vocab, open(os.path.join(model_dir, "vocab.json"), "w"))
+    with open(os.path.join(model_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    dims = (dict(n_embd=64, n_layer=2, n_head=4, rotary_dim=16) if SMALL
+            else dict(n_embd=4096, n_layer=28, n_head=16, rotary_dim=64))
+    json.dump({
+        "vocab_size": len(vocab), "n_positions": 2048,
+        "attn_pdrop": 0.0, "resid_pdrop": 0.0, "embd_pdrop": 0.0,
+        **dims,
+    }, open(os.path.join(model_dir, "config.json"), "w"))
+    return model_dir
+
+
 def _serve(args_list):
     from frozenbilm_tpu.tasks.serve import build_server, get_serve_parser
 
@@ -191,6 +214,14 @@ def _legs():
                                       "2" if SMALL else "8",
                                       "--serve_inflight_chunk", "4"]))
     if not SMALL:
+        # chunk A/B: on the axon tunnel every step_once pays a host<->device
+        # round trip, so larger chunks amortize it (at the cost of admission
+        # latency); a local-host TPU would not pay this tax
+        gen_variants.append(("inflight_c8", ["--serve_inflight", "8",
+                                             "--serve_inflight_chunk", "8"]))
+        gen_variants.append(("inflight_c16", ["--serve_inflight", "8",
+                                              "--serve_inflight_chunk", "16"]))
+    if not SMALL:
         # the headline serving config: continuous batching + per-slot
         # prompt-lookup speculation (greedy-exact)
         gen_variants.append(("inflight_spec",
@@ -199,6 +230,17 @@ def _legs():
                               "--serve_speculative", "5"]))
     for variant, extra in gen_variants:
         legs[f"generate_{variant}_w10ms"] = ("generate", extra)
+    # the one-chip-6B serving story (VERDICT r3 next #7): GPT-J-6B engine
+    # legs — 12 GB bf16 weights + pooled KV on a single v5e; int8 halves
+    # the weight stream of every bandwidth-bound decode step
+    legs["generate6b_bf16_w10ms"] = ("generate6b", [])
+    legs["generate6b_inflight_w10ms"] = (
+        "generate6b", ["--serve_inflight", "2" if SMALL else "4",
+                       "--serve_inflight_chunk", "4"])
+    if not SMALL:
+        legs["generate6b_int8_inflight_w10ms"] = (
+            "generate6b", ["--quantize", "w8a8", "--serve_inflight", "4",
+                           "--serve_inflight_chunk", "4"])
     return legs
 
 
@@ -237,12 +279,17 @@ def run_leg(name):
 
         path, n_clients = "/qa", QA_CLIENTS
     else:
-        gen_dir = _mk_gen_env(root)
+        if endpoint == "generate6b":
+            gen_dir = _mk_gptj_env(root)
+            model_name, bsv = "gpt-j-6b", "4"
+        else:
+            gen_dir = _mk_gen_env(root)
+            model_name, bsv = "gpt-neo-1p3b", "8"
         base = [
             "--combine_datasets", "none", "--combine_datasets_val", "none",
-            "--model_name", "gpt-neo-1p3b", "--tokenizer_path", gen_dir,
+            "--model_name", model_name, "--tokenizer_path", gen_dir,
             "--max_feats", "10", "--features_dim", "768",
-            "--max_tokens", "32", "--batch_size_val", "8",
+            "--max_tokens", "32", "--batch_size_val", bsv,
             "--serve_host", "127.0.0.1", "--port", "0",
             "--param_dtype", "bfloat16", "--serve_max_new_tokens", "16",
             "--serve_window_ms", "10",
