@@ -68,7 +68,8 @@ class InflightEngine:
                  eos_token_id: Optional[int] = None, pad_token_id: int = 0,
                  top_k: int = 0, top_p: float = 1.0, kv_int8: bool = False,
                  rng_seed: int = 0, state_sharding: Optional[Dict] = None,
-                 spec_draft: int = 0, max_new_cap: int = 64):
+                 spec_draft: int = 0, max_new_cap: int = 64,
+                 pipeline: bool = True):
         if family not in ("gptneo", "gptj"):
             raise ValueError(f"in-flight engine supports GPT families, got {family}")
         self.params = params
@@ -89,6 +90,13 @@ class InflightEngine:
         self.Gmax = int(max_new_cap)
         if self.spec:
             self.Lmax += self.spec + 1
+        if pipeline:
+            # async-fetch lag: a non-spec row retired by budget exhaustion
+            # decodes one discarded extra chunk before the host sees it —
+            # give the pool C slack so that junk cannot overflow. (Spec
+            # rows self-freeze on-device at n >= budget, so the junk chunk
+            # writes nothing there.)
+            self.Lmax += self.C
         self._rng = jax.random.key(rng_seed)
         self._step_ctr = 0
 
@@ -122,6 +130,17 @@ class InflightEngine:
         self._slots: List[Optional[Dict]] = [None] * self.S
         self._active = np.zeros(self.S, dtype=bool)
         self._nprev = np.zeros(self.S, dtype=np.int64)  # spec: tokens read
+        # async-fetch pipelining: dispatch chunk k BEFORE fetching chunk
+        # k-1's tokens, hiding the host<->device round trip behind device
+        # execution (on a remote-TPU tunnel that round trip dominates the
+        # step loop — serve_load_r4 measured the chunk=4 engine at 1/3 of
+        # window batching). _pending holds (device toks, active snapshot);
+        # _cooling marks slots retired while a dispatch that still included
+        # them is in flight — admission skips them for exactly one call.
+        self._pipeline = bool(pipeline)
+        self._pending = None
+        self._cooling = np.zeros(self.S, dtype=bool)
+        self._admitted_first: List = []  # (slot, device first-token) pairs
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
                       "occupancy_sum": 0, "admissions": 0, "failures": 0,
@@ -473,7 +492,8 @@ class InflightEngine:
         return ticket
 
     def _admit_one(self, req) -> bool:
-        free = [i for i in range(self.S) if not self._active[i]]
+        free = [i for i in range(self.S)
+                if not self._active[i] and not self._cooling[i]]
         if not free:
             return False
         slot = free[0]
@@ -506,7 +526,8 @@ class InflightEngine:
                 self.state, first = self._admit_cache[key](
                     self.params, self.state, np.int32(slot), ids, am, video,
                     vmask, temp, rng)
-            first = int(first)
+            if not self._pipeline:
+                first = int(first)
         except Exception as e:  # noqa: BLE001
             # the req is already off _waiting and not yet in _slots —
             # _fail_inflight (via run_forever) would never see its ticket.
@@ -518,7 +539,13 @@ class InflightEngine:
         self._active[slot] = True
         with self._lock:
             self.stats["admissions"] += 1
-        self._emit(slot, [first])
+        if self._pipeline:
+            # defer the first-token fetch to the processing phase: int()
+            # here would block on every queued device op (one tunnel round
+            # trip PER ADMISSION — 309 admissions in a 20 s serve_load leg)
+            self._admitted_first.append((slot, first))
+        else:
+            self._emit(slot, [first])
         return True
 
     def realized_acceptance(self):
@@ -561,36 +588,15 @@ class InflightEngine:
             self._slots[slot] = None
             self._active[slot] = False
 
-    def step_once(self) -> bool:
-        """One engine iteration: admit -> chunk-decode -> retire. Returns
-        True if any device work was dispatched."""
-        if self.state is None:  # deferred rebuild after a failed reset
-            if self._waiting.empty():
-                return False
-            self._rebuild_state()
-        admitted = False
-        while not self._waiting.empty() and self._active.sum() < self.S:
-            try:
-                req = self._waiting.get_nowait()
-            except queue.Empty:
-                break
-            self._admit_one(req)
-            admitted = True
-        if not self._active.any():
-            return admitted
-        active = jnp.asarray(self._active)
-        rng = jax.random.fold_in(self._rng, 2 ** 20 + self._step_ctr)
-        self.state, toks = self._step_fn(self.params, self.state, active,
-                                         rng, np.int32(self._step_ctr))
-        self._step_ctr += self.C
-        with self._lock:
-            self.stats["steps"] += self.C
-            self.stats["occupancy_sum"] += int(self._active.sum()) * self.C
+    def _process_toks(self, toks, active_snap: np.ndarray):
+        """Fetch one dispatched chunk's tokens and emit them to the slots
+        that were active AT DISPATCH TIME. Slots retired since (pipelined
+        lag) hold None and are skipped — their chunk is discarded junk."""
         if self.spec:
             out, n = np.asarray(toks[0]), np.asarray(toks[1])
             emitted_now = row_steps_now = 0
             for slot in range(self.S):
-                if self._active[slot]:
+                if active_snap[slot] and self._slots[slot] is not None:
                     new = out[slot, self._nprev[slot]:n[slot]]
                     self._nprev[slot] = n[slot]
                     emitted_now += len(new)
@@ -602,9 +608,74 @@ class InflightEngine:
         else:
             toks = np.asarray(toks)  # (S, C)
             for slot in range(self.S):
-                if self._active[slot]:
+                if active_snap[slot] and self._slots[slot] is not None:
                     self._emit(slot, toks[slot].tolist())
-        return True
+
+    def step_once(self) -> bool:
+        """One engine iteration: admit -> dispatch chunk k -> process chunk
+        k-1. Returns True if any work happened.
+
+        With pipeline=True (default) the token fetch of a dispatched chunk
+        is DEFERRED one iteration: the device executes chunk k while the
+        host retires chunk k-1's rows, hiding the host<->device round trip
+        (which dominates the loop on a remote-TPU tunnel). Costs: emission
+        lags one chunk, and a retired slot cools for one iteration before
+        readmission (its in-flight chunk must be discarded first) — the
+        pool has >= Lmax - bucket - max_new_cap slack, so the extra junk
+        chunk cannot overflow a row's KV region."""
+        if self.state is None:  # deferred rebuild after a failed reset
+            if self._waiting.empty():
+                return False
+            self._rebuild_state()
+        admitted = False
+        while not self._waiting.empty() and self._active.sum() < self.S:
+            try:
+                req = self._waiting.get_nowait()
+            except queue.Empty:
+                break
+            if not self._admit_one(req):  # every free slot is cooling
+                self._waiting.put(req)
+                break
+            admitted = True
+        dispatched = False
+        if self._active.any():
+            active_snap = self._active.copy()
+            active = jnp.asarray(active_snap)
+            rng = jax.random.fold_in(self._rng, 2 ** 20 + self._step_ctr)
+            self.state, toks = self._step_fn(self.params, self.state, active,
+                                             rng, np.int32(self._step_ctr))
+            self._step_ctr += self.C
+            with self._lock:
+                self.stats["steps"] += self.C
+                self.stats["occupancy_sum"] += int(active_snap.sum()) * self.C
+            dispatched = True
+            if not self._pipeline:
+                self._process_toks(toks, active_snap)
+                return True
+        # ---- pipelined processing phase (previous chunk + admissions) ----
+        pre_active = self._active.copy()
+        processed = False
+        if self._admitted_first:
+            firsts = jax.device_get([f for _, f in self._admitted_first])
+            for (slot, _), first in zip(self._admitted_first, firsts):
+                self._emit(slot, [int(first)])
+            self._admitted_first = []
+            processed = True
+        if self._pending is not None:
+            prev_toks, prev_snap = self._pending
+            self._pending = None
+            self._process_toks(prev_toks, prev_snap)
+            processed = True
+        if dispatched:
+            self._pending = (toks, active_snap)
+            # slots retired during THIS processing phase were still active
+            # in the chunk just dispatched: cool them until that chunk's
+            # junk has been processed (next call), or reuse would append
+            # the old row's tokens to a new request
+            self._cooling = pre_active & ~self._active
+        else:
+            self._cooling[:] = False
+        return admitted or dispatched or processed
 
     def drain(self):
         """Run until no queued or in-flight work remains (tests/CLI)."""
@@ -642,6 +713,10 @@ class InflightEngine:
             # count BEFORE filling tickets: a waiter that wakes on its
             # ticket must already see the failure in stats
             self.stats["failures"] += 1
+        # pipelined leftovers reference the poisoned state: drop them
+        self._pending = None
+        self._admitted_first = []
+        self._cooling[:] = False
         for slot in range(self.S):
             req = self._slots[slot]
             if req is not None:

@@ -494,7 +494,8 @@ class InflightGenService:
             pad_token_id=self.eos if self.eos is not None else 0,
             top_k=args.serve_top_k, top_p=args.serve_top_p,
             kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
-            rng_seed=args.seed, max_new_cap=self.max_new)
+            rng_seed=args.seed, max_new_cap=self.max_new,
+            pipeline=bool(getattr(args, "serve_inflight_pipeline", 1)))
         self._family = family_of(args.model_name)
         self._engine_lock = threading.Lock()
         self._stop = threading.Event()
@@ -982,6 +983,11 @@ def get_serve_parser():
     parser.add_argument("--serve_inflight_chunk", type=int, default=4,
                         help="in-flight engine: decode tokens per compiled "
                              "chunk between admission/retirement points")
+    parser.add_argument("--serve_inflight_pipeline", type=int, default=1,
+                        help="in-flight engine: overlap the host's token "
+                             "fetch/retire bookkeeping for chunk k-1 with "
+                             "the device executing chunk k (hides the "
+                             "host<->device round trip; 0 = synchronous)")
     parser.add_argument("--serve_spec_auto_off_steps", type=int, default=512,
                         help="in-flight + speculative: after this many "
                              "per-row verify steps, auto-swap to a plain "

@@ -389,3 +389,35 @@ def test_engine_sampled_rows_ride_with_greedy():
     assert _get(tg)["tokens"] == want
     got_s = _get(ts)["tokens"]
     assert len(got_s) == 6 and all(0 <= t < 64 for t in got_s)
+
+
+def test_engine_pipeline_matches_sync_and_reference():
+    """pipeline=True (default: dispatch chunk k before fetching chunk k-1,
+    hiding the host<->device round trip) must emit EXACTLY the tokens of
+    the synchronous engine AND the whole-batch decoder — including a
+    max_new=1 request retired straight from its admission token, and slot
+    reuse through the one-iteration cooling window (2 slots, 7 requests)."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(11)
+    reqs = []
+    for i in range(7):
+        t = int(rng.integers(4, 14))
+        ids = rng.integers(3, 64, size=t).astype(np.int32)
+        reqs.append((ids, 1 if i == 2 else 3 + i))
+    outs = {}
+    for pipe in (False, True):
+        eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                             chunk=2, prompt_buckets=(8, 16),
+                             eos_token_id=None, pipeline=pipe)
+        tickets = [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs[:3]]
+        eng.step_once()
+        eng.step_once()
+        tickets += [eng.submit(ids, max_new_tokens=mn) for ids, mn in reqs[3:]]
+        eng.drain()
+        outs[pipe] = [_get(t)["tokens"] for t in tickets]
+        assert eng.stats["requests"] == 7
+    assert outs[True] == outs[False]
+    for (ids, mn), got in zip(reqs, outs[True]):
+        want = _reference_tokens("gptneo", cfg, vt, params, ids,
+                                 (8, 16), mn, None)
+        assert got == want, (ids.tolist(), mn)
