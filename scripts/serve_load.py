@@ -362,16 +362,21 @@ def main():
             print(f"# {name}: already recorded, skipping", flush=True)
             continue
         for attempt in range(2):
-            p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                name], cwd=os.path.dirname(
-                                    os.path.dirname(os.path.abspath(__file__))))
-            if p.returncode == 0:
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), name],
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))),
+                    timeout=3600)  # 6B legs compile several programs
+                rc = p.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            if rc == 0:
                 break
-            print(f"# {name}: child rc={p.returncode}"
-                  f" (attempt {attempt})", flush=True)
+            print(f"# {name}: child rc={rc} (attempt {attempt})", flush=True)
             time.sleep(60)  # axon claim release lag
         else:
-            _merge(name, {"error": f"child failed rc={p.returncode}"})
+            _merge(name, {"error": f"child failed rc={rc}"})
         time.sleep(5 if SMALL else 60)  # claim release between chip procs
     print(f"# wrote {OUT}", flush=True)
 
