@@ -65,8 +65,18 @@ from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
 
 
 def _load_serving_params(args, bundle, tokenizer_needed: bool = False):
-    """Shared param plumbing: init -> base weights -> --load -> dtype/quant."""
-    params = bundle.init_params(jax.random.PRNGKey(args.seed))
+    """Shared param plumbing: init -> base weights -> --load -> dtype/quant.
+
+    Init and the --param_dtype cast run fused in ONE jit: eager per-leaf
+    init is minutes-slow over a remote-TPU tunnel, and materializing the
+    f32 tree before casting OOMs HBM for GPT-J-6B (24 GB f32 vs the v5e's
+    16 — inside the jit each leaf's f32 buffer dies at its convert, so
+    peak is the bf16 tree + one leaf)."""
+    from frozenbilm_tpu.train.partition import apply_param_dtype
+
+    params = jax.jit(lambda k: apply_param_dtype(
+        bundle.init_params(k), bundle.vt, args.param_dtype))(
+            jax.random.PRNGKey(args.seed))
     base_dir = args.tokenizer_path or os.path.join(
         os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
     if os.path.isdir(base_dir):
