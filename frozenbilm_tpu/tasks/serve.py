@@ -96,7 +96,7 @@ def _finalize_params(args, bundle, params):
 
     params = jax.tree.map(jnp.asarray, params)
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
-    return apply_quantization(params, bundle.vt, args.quantize)
+    return apply_quantization(params, bundle.vt, args.quantize, donate=True)
 
 
 class QAService:

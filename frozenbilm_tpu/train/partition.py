@@ -115,7 +115,8 @@ def apply_param_dtype(params: Dict, vt: VideoTextConfig, dtype_name: str) -> Dic
 
 
 def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str,
-                       calibrates: bool = False) -> Dict:
+                       calibrates: bool = False,
+                       donate: bool = False) -> Dict:
     """--quantize hook: int8-quantize the frozen linear kernels (eval only).
 
     Runs the whole tree transform in ONE jit call — per-leaf dispatch over
@@ -141,7 +142,11 @@ def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str,
 
     quant_mode = "w4" if mode == "w4" else "w8a8"
     mask = trainable_mask(params, vt)
-    return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode))(params)
+    # donate=True lets XLA free each source leaf as its int8 twin is built
+    # (a caller that drops its reference, e.g. serving): without it the
+    # bf16 + int8 trees coexist — 12 + 6 GB for GPT-J-6B, an HBM OOM.
+    return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode),
+                   donate_argnums=(0,) if donate else ())(params)
 
 
 def reject_quantized_for_training(params: Dict, eval_mode: bool) -> None:
