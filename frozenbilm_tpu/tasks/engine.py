@@ -141,6 +141,8 @@ class InflightEngine:
         self._pending = None
         self._cooling = np.zeros(self.S, dtype=bool)
         self._admitted_first: List = []  # (slot, device first-token) pairs
+        self._active_dev = None  # device copy of _active, refreshed on change
+        self._active_host = None
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
                       "occupancy_sum": 0, "admissions": 0, "failures": 0,
@@ -405,6 +407,10 @@ class InflightEngine:
             return self._constrain(new), (out, n)
 
         def step(params, state, active, rng, base):
+            # the per-iteration fold runs INSIDE the program (base is a
+            # traced scalar): folding on the host was one extra tiny
+            # dispatch per engine iteration over the tunnel
+            rng = jax.random.fold_in(rng, 2 ** 20 + base)
             temps = state["temps"]
 
             def one(carry, i):
@@ -640,10 +646,15 @@ class InflightEngine:
         dispatched = False
         if self._active.any():
             active_snap = self._active.copy()
-            active = jnp.asarray(active_snap)
-            rng = jax.random.fold_in(self._rng, 2 ** 20 + self._step_ctr)
-            self.state, toks = self._step_fn(self.params, self.state, active,
-                                             rng, np.int32(self._step_ctr))
+            # transfer the slot mask only when it changed (it only moves on
+            # admission/retirement — another per-iteration round trip saved)
+            if (self._active_dev is None
+                    or not np.array_equal(active_snap, self._active_host)):
+                self._active_dev = jnp.asarray(active_snap)
+                self._active_host = active_snap
+            self.state, toks = self._step_fn(self.params, self.state,
+                                             self._active_dev, self._rng,
+                                             np.int32(self._step_ctr))
             self._step_ctr += self.C
             with self._lock:
                 self.stats["steps"] += self.C
