@@ -534,13 +534,16 @@ def _encoder_forward(
         # (B, H, C, L+C-1) and cuts its FLOPs+copies ~(L+C)/2L (the full
         # skew's (B, H, L, 2L-1) temp is what cratered the L=512 MC shape
         # to 14 TF/s and OOM'd remat — docs/measurements/mc_profile_r4.json).
-        # FROZENBILM_SKEW_CHUNK=0 forces the unchunked skew; any other int
-        # forces that chunk size.
+        # C=24 from the on-chip sweep at L=512 (mc_chunk_ab_r4.json:
+        # C24 41.0 rows/s > C16 40.0 > C32 38.5 > C128 32.8 > full 16.9 —
+        # the skew's misaligned relayout copies shrink with the window,
+        # mc_hlo_attrib_r4.json). FROZENBILM_SKEW_CHUNK=0 forces the
+        # unchunked skew; any other int forces that chunk size.
         env_chunk = os.environ.get("FROZENBILM_SKEW_CHUNK", "")
         if env_chunk:
             chunk = int(env_chunk) or None
         elif L >= 256:
-            chunk = 128
+            chunk = 24
     rel_idx = {
         "mode": mode,
         "c2p": c2p_idx - lo,

@@ -40,7 +40,7 @@ def main():
     else:
         cfg = DebertaV2Config()
         rows, T, F, feat_dim = 80, 502, 10, 768
-        sweep = ("32", "64", "128", "256", "0")
+        sweep = tuple(os.environ.get("FROZENBILM_CHUNK_SWEEP", "32,64,128,256,0").split(","))
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)

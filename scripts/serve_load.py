@@ -238,9 +238,11 @@ def _legs():
         "generate6b", ["--serve_inflight", "2" if SMALL else "4",
                        "--serve_inflight_chunk", "4"])
     if not SMALL:
+        # 2 slots: the 4-slot int8 engine OOM'd warm even with donated
+        # quantization; whole-batch 6B int8 decode is covered by bench
         legs["generate6b_int8_inflight_w10ms"] = (
-            "generate6b", ["--quantize", "w8a8", "--serve_inflight", "4",
-                           "--serve_inflight_chunk", "4"])
+            "generate6b", ["--quantize", "w8a8", "--serve_inflight", "2",
+                           "--serve_inflight_chunk", "8"])
     return legs
 
 
