@@ -46,6 +46,10 @@ from frozenbilm_tpu.models.common import (
     merge_heads,
     split_heads,
 )
+from frozenbilm_tpu.ops.attention import (
+    fused_dattn_enabled,
+    fused_disentangled_attention,
+)
 from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index, masked_softmax
 from frozenbilm_tpu.ops.rel_pos import (
     build_c2p_p2c_indices,
@@ -254,6 +258,7 @@ def _disentangled_attention(
     *,
     deterministic: bool,
     rngs: RngStream,
+    mask_1d: Optional[jax.Array] = None,  # (B, L) rank-1 factor of mask_outer
 ):
     """Content + c2p + p2c attention (deberta.py:717-947)."""
     nh = cfg.num_attention_heads
@@ -283,11 +288,35 @@ def _disentangled_attention(
     # softmax still reduces in f32 internally (ops/masking.masked_softmax).
     # Parity tests run f32 activations, where all of this is a no-op.
     adt = q.dtype
-    scores = (
-        jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        / scale
-    ).astype(adt)
+    # Fused-kernel path (ops/attention.fused_disentangled_attention): at
+    # L >= 256 on TPU the whole (L, L) score tile of one (b, h) fits VMEM, so
+    # QK^T + both bias adds + the p2c transpose + masked softmax + AV run in
+    # one Pallas kernel — no (B, H, L, L) scores/probs/transposed-bias tensor
+    # ever reaches HBM (~6 GB/layer of streamed traffic at the MC shape,
+    # docs/measurements/mc_hlo_attrib_r4.json). Selection stays outside
+    # (in-kernel Toeplitz selection is Mosaic-hostile, CLAUDE.md). Forward
+    # only: training keeps the XLA path with masked_softmax's custom VJP.
+    use_fused = (
+        mask_1d is not None
+        and deterministic
+        and cfg.relative_attention
+        and rel_emb is not None
+        and "c2p" in cfg.pos_att_type
+        and "p2c" in cfg.pos_att_type
+        and q.shape[2] == k.shape[2]
+        and fused_dattn_enabled(q.shape[2])
+    )
+    if use_fused:
+        scores = None
+    else:
+        scores = (
+            jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+            / scale
+        ).astype(adt)
 
+    c2p = None
+    p2c_raw = None
+    p2c_is_ji = False
     if cfg.relative_attention and rel_emb is not None:
         rel_emb = dropout(
             rngs.next(), rel_emb, cfg.hidden_dropout_prob, deterministic
@@ -363,32 +392,44 @@ def _disentangled_attention(
                     c2p = jnp.take_along_axis(
                         c2p_full, jnp.asarray(rel_idx["c2p"])[None, None], axis=-1
                     )
-            scores = scores + c2p / scale
+            if not use_fused:
+                scores = scores + c2p / scale
         if "p2c" in cfg.pos_att_type:
             if chunk:
                 # same chunking over the KEY axis j; skew yields S[j, i]
-                p2c_t = jnp.swapaxes(_skew_chunked(k, pos_query, chunk), -1, -2)
+                p2c_raw = _skew_chunked(k, pos_query, chunk)
+                p2c_is_ji = True
             else:
                 p2c_full = jnp.einsum(
                     "bhjd,hkd->bhjk", k, pos_query, preferred_element_type=jnp.float32
                 ).astype(adt)
                 if mode == "skew":
                     # skew yields S[j, i]; the bias wants [i, j]
-                    p2c_t = jnp.swapaxes(skew_select(p2c_full), -1, -2)
+                    p2c_raw = skew_select(p2c_full)
+                    p2c_is_ji = True
                 elif onehot is not None:
                     # p2c table is indexed [j, i, k'] so it lands as [i, j]
-                    p2c_t = jnp.einsum(
+                    p2c_raw = jnp.einsum(
                         "bhjk,jik->bhij", p2c_full,
                         jnp.asarray(onehot[1], p2c_full.dtype),
                         preferred_element_type=jnp.float32,
                     ).astype(adt)
                 else:
-                    p2c_t = jnp.swapaxes(
-                        jnp.take_along_axis(
-                            p2c_full, jnp.asarray(rel_idx["p2c"])[None, None], axis=-1
-                        ), -1, -2,
+                    p2c_raw = jnp.take_along_axis(
+                        p2c_full, jnp.asarray(rel_idx["p2c"])[None, None], axis=-1
                     )
-            scores = scores + p2c_t / scale
+                    p2c_is_ji = True
+            if not use_fused:
+                p2c_t = (
+                    jnp.swapaxes(p2c_raw, -1, -2) if p2c_is_ji else p2c_raw
+                )
+                scores = scores + p2c_t / scale
+
+    if use_fused:
+        ctx = fused_disentangled_attention(
+            q, k, v, c2p, p2c_raw, mask_1d, scale, p2c_is_ji=p2c_is_ji,
+        )
+        return merge_heads(ctx)
 
     probs = masked_softmax(scores, mask_outer[:, None, :, :])
     probs = dropout(rngs.next(), probs, cfg.attention_probs_dropout_prob, deterministic)
@@ -425,12 +466,13 @@ def _layer_forward(
     query_states: Optional[jax.Array] = None,
     deterministic: bool,
     rngs: RngStream,
+    mask_1d: Optional[jax.Array] = None,
 ):
     """One transformer block (deberta.py:338-375)."""
     q_in = hidden_kv if query_states is None else query_states
     attn_ctx = _disentangled_attention(
         lp["attention"]["self"], cfg, hidden_kv, q_in, mask_outer, rel_emb, rel_idx,
-        deterministic=deterministic, rngs=rngs,
+        deterministic=deterministic, rngs=rngs, mask_1d=mask_1d,
     )
     attention_output = _self_output(
         lp["attention"]["output"], cfg, vt, attn_ctx, q_in,
@@ -575,6 +617,7 @@ def _encoder_forward(
         out = _layer_forward(
             lp, cfg, vt, h, mask_outer, rel_emb, rel_idx,
             deterministic=deterministic, rngs=RngStream(sub),
+            mask_1d=input_mask,
         )
         if has_conv:
             conv_out = _conv_layer(
@@ -603,7 +646,7 @@ def _encoder_forward(
 
 def _emd_context_layer(
     enc_params, cfg, vt, hidden_minus2, pos_embeddings, mask_outer, rel_emb, rel_idx,
-    *, deterministic, rng, act_constraint=None,
+    *, deterministic, rng, act_constraint=None, mask_1d=None,
 ):
     """Enhanced Mask Decoder: rerun the last layer twice, queries carry
     absolute position information (deberta.py:1382-1412)."""
@@ -616,6 +659,7 @@ def _emd_context_layer(
         query_states = _layer_forward(
             last_layer, cfg, vt, hidden_minus2, mask_outer, rel_emb, rel_idx,
             query_states=query_states, deterministic=deterministic, rngs=rngs,
+            mask_1d=mask_1d,
         )
     return query_states
 
@@ -717,7 +761,7 @@ def deberta_forward(
         decoded = _emd_context_layer(
             params["encoder"], cfg, vt, hidden_minus2, pos_embeddings, mask_outer,
             rel_emb, rel_idx, deterministic=deterministic, rng=rngs.next(),
-            act_constraint=act_constraint,
+            act_constraint=act_constraint, mask_1d=attention_mask,
         )
     else:
         decoded = final

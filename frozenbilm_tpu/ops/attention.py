@@ -104,6 +104,156 @@ def _pallas_mha(q, k, v, mask, scale):
     return out[:, :, :L, :D]
 
 
+def disentangled_attention_reference(
+    q, k, v, c2p, p2c, mask_1d, scale: float, p2c_is_ji: bool = True
+):
+    """jnp oracle for the DeBERTa score pipeline consumed by the fused kernel.
+
+    softmax_masked((q k^T + c2p + p2c^T) / scale) v with the exact
+    masked-softmax semantics of ops/masking.masked_softmax (reference
+    XSoftmax, model/deberta.py:100-138; score composition deberta.py:855-918).
+
+    q,k,v: (B, H, L, d); c2p: (B, H, L, L) in [i, j]; p2c: (B, H, L, L) in
+    [j, i] when p2c_is_ji (the natural skew output) else [i, j];
+    mask_1d: (B, L) 1=valid token.
+    """
+    from frozenbilm_tpu.ops.masking import masked_softmax
+
+    adt = q.dtype
+    s = (
+        jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+        / scale
+    ).astype(adt)
+    s = s + c2p / scale
+    p2c_t = jnp.swapaxes(p2c, -1, -2) if p2c_is_ji else p2c
+    s = s + p2c_t / scale
+    mask_outer = (mask_1d[:, :, None] * mask_1d[:, None, :]).astype(jnp.int32)
+    probs = masked_softmax(s, mask_outer[:, None, :, :])
+    return jnp.einsum(
+        "bhij,bhjd->bhid", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def _dattn_kernel(
+    q_ref, k_ref, v_ref, c2p_ref, p2c_ref, mask_ref, out_ref,
+    *, inv_scale, hblk, p2c_is_ji,
+):
+    """One (batch, hblk heads): the whole (Lp, Lp) score tile lives in VMEM.
+
+    Fuses QK^T, both disentangled bias adds, the p2c [j,i]->[i,j] transpose,
+    the exact masked softmax (f32 internals, fully-masked rows -> zeros), and
+    the AV contraction — none of the (B, H, L, L) score/prob tensors or the
+    transposed p2c bias ever reach HBM (they were ~6 GB/layer of streamed
+    traffic at the MC L=512 shape, docs/measurements/mc_hlo_attrib_r4.json).
+    """
+    valid = mask_ref[0, 0, :] != 0  # (Lp,)
+    vmask = jnp.logical_and(valid[:, None], valid[None, :])
+    for hh in range(hblk):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + c2p_ref[0, hh].astype(jnp.float32)
+        p2c = p2c_ref[0, hh].astype(jnp.float32)
+        if p2c_is_ji:
+            p2c = p2c.T  # in-VMEM transpose (kills the HBM layout copy)
+        s = (s + p2c) * inv_scale
+        filled = jnp.where(vmask, s, NEG_INF)
+        m = jnp.max(filled, axis=-1, keepdims=True)
+        e = jnp.exp(filled - m)
+        e = jnp.where(vmask, e, 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                            float(np.finfo(np.float32).tiny))
+        p = e / denom
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, hh] = out.astype(out_ref.dtype)
+
+
+def _pallas_dattn(q, k, v, c2p, p2c, mask_1d, scale, *, p2c_is_ji, hblk,
+                  interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    Lp = _round_up(L, 128)
+    Dp = _round_up(D, 128)
+    if H % hblk:
+        hblk = 1
+
+    def pad4(x, last):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, Lp - x.shape[2]), (0, last - x.shape[3])))
+
+    qp, kp, vp = pad4(q, Dp), pad4(k, Dp), pad4(v, Dp)
+    c2pp, p2cp = pad4(c2p, Lp), pad4(p2c, Lp)
+    maskp = jnp.pad(mask_1d.astype(jnp.int32), ((0, 0), (0, Lp - L)))
+    # 2nd-minor dim of a block must be a multiple of 8: carry 8 mask rows
+    maskp = jnp.broadcast_to(maskp[:, None, :], (B, 8, Lp))
+
+    kernel = functools.partial(
+        _dattn_kernel, inv_scale=1.0 / scale, hblk=hblk, p2c_is_ji=p2c_is_ji)
+    qkv_spec = pl.BlockSpec((1, hblk, Lp, Dp), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, hblk, Lp, Lp), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lp, Dp), v.dtype),
+        grid=(B, H // hblk),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec,
+            pl.BlockSpec((1, 8, Lp), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        interpret=interpret,
+    )(qp, kp, vp, c2pp, p2cp, maskp)
+    return out[:, :, :L, :D]
+
+
+def fused_dattn_enabled(L: int) -> bool:
+    """Gate for the fused disentangled-attention kernel.
+
+    FROZENBILM_FUSED_ATTN=1 forces it on, =0 off; default (auto) uses it on
+    TPU at L >= 256 — the regime where the (B, H, L, L) score pipeline is
+    HBM-bound (docs/MC_ROOFLINE.md) and the whole score tile fits VMEM.
+    """
+    import os
+
+    env = os.environ.get("FROZENBILM_FUSED_ATTN", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return jax.default_backend() == "tpu" and L >= 256
+
+
+def fused_disentangled_attention(
+    q, k, v, c2p, p2c, mask_1d, scale: float,
+    *, p2c_is_ji: bool = True, hblk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Fused (QK^T + c2p + p2c^T)/scale -> masked softmax -> AV on TPU.
+
+    Biases are consumed pre-selected (the Toeplitz selection stays outside —
+    in-kernel selection is provably VPU-bound and Mosaic-hostile, CLAUDE.md).
+    Falls back to interpret mode off-TPU so tests exercise the same kernel.
+    """
+    import os
+
+    if hblk is None:
+        hblk = int(os.environ.get("FROZENBILM_FUSED_ATTN_HBLK", "2") or 2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_dattn(q, k, v, c2p, p2c, mask_1d, scale,
+                         p2c_is_ji=p2c_is_ji, hblk=hblk, interpret=interpret)
+
+
 def _kernel_block_shapes_ok(q) -> bool:
     B, H, L, D = q.shape
     Lp = _round_up(L, 128)
