@@ -954,11 +954,15 @@ def bench_train(small: bool):
         # 20 timed steps: the VERDICT r3 #1 done-criterion (every variant
         # finite over >= 20 steps); compile dominates wall time anyway
         B, T, F, steps, feat_dim = 32, 64, 10, 20, 768
-        # base_b64 doubles the batch to locate the throughput knee;
-        # base_rbg swaps the per-step random BITS (dropout masks over
-        # (B, H, L, L) x 24 layers + MLM corruption draws) from threefry
-        # VPU work onto the TPU hardware RNG (--rng_impl rbg)
-        variants = (("base", False, 1), ("base_b64", False, 1),
+        # b64_remat doubles the batch WITH remat: B=64 un-rematerialized
+        # needs >16 GB HBM and the compile helper 500s — a capacity wall,
+        # not a transient (docs/measurements/train_knee_r4.json; the knee is
+        # B=32 at 180 items/s, so per-chip batch scaling stops there and
+        # batch scales via DP). base_rbg swaps the per-step random BITS
+        # (dropout masks over (B, H, L, L) x 24 layers + MLM corruption
+        # draws) from threefry VPU work onto the TPU hardware RNG
+        # (--rng_impl rbg)
+        variants = (("base", False, 1), ("b64_remat", True, 1),
                     ("base_rbg", False, 1),
                     ("remat", True, 1), ("grad_accum4", False, 4))
 
@@ -1006,7 +1010,7 @@ def bench_train(small: bool):
 
     out = {}
     for name, remat, accum in variants:
-        Bv = 2 * B if name == "base_b64" else B
+        Bv = 2 * B if name in ("base_b64", "b64_remat") else B
         batch = make_batch(Bv)
         step_flops = flops_for(Bv)
         loss_fn = make_mlm_loss_fn(

@@ -147,8 +147,12 @@ def _dattn_kernel(
     transposed p2c bias ever reach HBM (they were ~6 GB/layer of streamed
     traffic at the MC L=512 shape, docs/measurements/mc_hlo_attrib_r4.json).
     """
-    valid = mask_ref[0, 0, :] != 0  # (Lp,)
-    vmask = jnp.logical_and(valid[:, None], valid[None, :])
+    # Row/col validity. The minor-dim insertion ([:, None]) must happen on
+    # the int32 mask, not the i1 compare result: Mosaic only supports
+    # non-no-op minor-dim insertion for 32-bit types ("vector<512xi1> ->
+    # 512x1xi1" fails to compile; /tmp/fused_repro.log, round 4).
+    mask_i = mask_ref[0, 0, :]  # (Lp,) int32
+    vmask = jnp.logical_and(mask_i[:, None] != 0, mask_i[None, :] != 0)
     for hh in range(hblk):
         q = q_ref[0, hh]
         k = k_ref[0, hh]
@@ -247,7 +251,9 @@ def fused_disentangled_attention(
     import os
 
     if hblk is None:
-        hblk = int(os.environ.get("FROZENBILM_FUSED_ATTN_HBLK", "2") or 2)
+        # on-chip sweep (docs/measurements/fused_attn_ab_r4.json, v5e):
+        # hblk=4 best at both L=512 (53.07 rows/s) and L=256 (124.72)
+        hblk = int(os.environ.get("FROZENBILM_FUSED_ATTN_HBLK", "4") or 4)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _pallas_dattn(q, k, v, c2p, p2c, mask_1d, scale,
