@@ -89,6 +89,20 @@ def test_kernel_bf16_close():
         atol=3e-2, rtol=3e-2)
 
 
+def test_gate_defaults(monkeypatch):
+    """auto = TPU and L >= 256; env forces both ways (incl. short L)."""
+    from frozenbilm_tpu.ops.attention import fused_dattn_enabled
+
+    monkeypatch.delenv("FROZENBILM_FUSED_ATTN", raising=False)
+    on_tpu = jax.default_backend() == "tpu"
+    assert fused_dattn_enabled(512) == on_tpu
+    assert fused_dattn_enabled(74) is False  # short L never auto-fuses
+    monkeypatch.setenv("FROZENBILM_FUSED_ATTN", "1")
+    assert fused_dattn_enabled(74) is True
+    monkeypatch.setenv("FROZENBILM_FUSED_ATTN", "0")
+    assert fused_dattn_enabled(512) is False
+
+
 @pytest.mark.parametrize("rel_mode", ["onehot", "gather", "skew", "skew_chunked"])
 def test_deberta_forward_fused_matches_xla(monkeypatch, rel_mode):
     cfg = DebertaV2Config(**SMALL, pos_att_type=("p2c", "c2p"))
