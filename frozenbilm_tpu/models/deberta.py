@@ -576,16 +576,21 @@ def _encoder_forward(
         # (B, H, C, L+C-1) and cuts its FLOPs+copies ~(L+C)/2L (the full
         # skew's (B, H, L, 2L-1) temp is what cratered the L=512 MC shape
         # to 14 TF/s and OOM'd remat — docs/measurements/mc_profile_r4.json).
-        # C=24 from the on-chip sweep at L=512 (mc_chunk_ab_r4.json:
-        # C24 41.0 rows/s > C16 40.0 > C32 38.5 > C128 32.8 > full 16.9 —
-        # the skew's misaligned relayout copies shrink with the window,
-        # mc_hlo_attrib_r4.json). FROZENBILM_SKEW_CHUNK=0 forces the
-        # unchunked skew; any other int forces that chunk size.
+        # Chunk size from on-chip sweeps; MUST stay a multiple of 8 — the
+        # skew relayout copies are sublane-aligned only then (C12/C20/C28
+        # all crater to ~38 rows/s at L=512 while C8/C16/C24 run 53-56,
+        # fused_chunk_resweep_r4.json). With the fused dattn kernel the
+        # selection is the dominant remaining cost and the smallest aligned
+        # window wins: C8 56.3 rows/s > C16 54.3 > C24 53.2 at L=512 (and
+        # C8 137 rows/s at L=256). On the XLA score pipeline (training /
+        # non-fused) C=24 stays optimal (mc_chunk_ab_r4.json: C24 41.0 >
+        # C16 40.0 > C32 38.5 > C128 32.8 > full 16.9). FROZENBILM_SKEW_CHUNK
+        # =0 forces the unchunked skew; any other int forces that chunk.
         env_chunk = os.environ.get("FROZENBILM_SKEW_CHUNK", "")
         if env_chunk:
             chunk = int(env_chunk) or None
         elif L >= 256:
-            chunk = 24
+            chunk = 8 if (deterministic and fused_dattn_enabled(L)) else 24
     rel_idx = {
         "mode": mode,
         "c2p": c2p_idx - lo,
