@@ -43,6 +43,7 @@ import json
 import os
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -762,6 +763,19 @@ class _InflightBatcher:
         return out
 
 
+def _is_transient_backend_error(e: Exception) -> bool:
+    """Transient remote-TPU (axon tunnel) faults worth retrying.
+
+    The tunnel occasionally throws FAILED_PRECONDITION mid-run and the
+    compile proxy can 500 transiently (CLAUDE.md); a jitted score call is a
+    pure function of (params, batch), so re-dispatching it is safe. Real
+    input errors (shape/validation) never match these substrings."""
+    msg = repr(e)
+    return ("FAILED_PRECONDITION" in msg
+            or "remote_compile" in msg
+            or "DEADLINE_EXCEEDED" in msg)
+
+
 class _Batcher:
     """Collects requests for up to `window_ms`, scores them in one batch."""
 
@@ -773,6 +787,7 @@ class _Batcher:
         self._latencies: List[float] = []  # seconds, capped window
         self.n_requests = 0
         self.n_batches = 0
+        self.n_retries = 0  # transient-backend retries (stats surface)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -800,6 +815,7 @@ class _Batcher:
             return {
                 "requests": self.n_requests,
                 "batches": self.n_batches,
+                "backend_retries": self.n_retries,
                 "latency_ms_p50": round(lat[n // 2] * 1e3, 2) if n else None,
                 "latency_ms_p95": round(lat[int(n * 0.95)] * 1e3, 2) if n else None,
             }
@@ -818,7 +834,20 @@ class _Batcher:
             with self._lock:
                 self.n_batches += 1
             try:
-                results = self.service.score(payloads)
+                # one failed jit dispatch would 500 the WHOLE batch (up to
+                # batch_size clients) — retry transient backend faults before
+                # giving up (serve_load_r4's 2-12 errors/leg were exactly one
+                # or two failed batches of ~10)
+                for attempt in range(3):
+                    try:
+                        results = self.service.score(payloads)
+                        break
+                    except Exception as e:
+                        if attempt == 2 or not _is_transient_backend_error(e):
+                            raise
+                        with self._lock:
+                            self.n_retries += 1
+                        time.sleep(0.25 * (attempt + 1))
                 for (_, slot), res in zip(batch, results):
                     slot["result"] = res
             except Exception as e:  # propagate per-request, keep serving

@@ -155,15 +155,25 @@ def _load(url, path, payload_fn, n_clients, duration_s):
     lock = threading.Lock()
     stop = time.perf_counter() + duration_s
     errors = [0]
+    error_samples = []  # first few exception bodies — diagnosable artifact
 
     def client(i):
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
             try:
                 _post(url, path, payload_fn(i))
-            except Exception:
+            except Exception as e:
+                msg = repr(e)
+                body = getattr(e, "read", None)
+                if body is not None:
+                    try:
+                        msg += " body=" + e.read()[:200].decode()
+                    except Exception:
+                        pass
                 with lock:  # same lock as lat: keep counters consistent
                     errors[0] += 1
+                    if len(error_samples) < 3:
+                        error_samples.append(msg[:300])
                 continue
             with lock:
                 lat.append(time.perf_counter() - t0)
@@ -178,13 +188,16 @@ def _load(url, path, payload_fn, n_clients, duration_s):
     wall = time.perf_counter() - t0
     lat.sort()
     n = len(lat)
-    return {
+    rec = {
         "clients": n_clients, "duration_s": round(wall, 1), "requests": n,
         "errors": errors[0],
         "req_per_sec": round(n / wall, 2),
         "p50_ms": round(lat[n // 2] * 1e3, 1) if n else None,
         "p95_ms": round(lat[int(n * 0.95)] * 1e3, 1) if n else None,
     }
+    if error_samples:
+        rec["error_samples"] = error_samples
+    return rec
 
 
 def _legs():
@@ -316,6 +329,8 @@ def run_leg(name):
             r["server_batches"] = stats["batches"]
             r["avg_batch"] = round(
                 stats["requests"] / max(1, stats["batches"]), 1)
+            if stats.get("backend_retries"):
+                r["backend_retries"] = stats["backend_retries"]
         else:
             # engine variants: occupancy + realized speculation win
             for key in ("engine_avg_occupancy", "engine_tokens_per_step",

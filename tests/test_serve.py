@@ -526,3 +526,53 @@ def test_serve_spec_auto_off(gen_env):
         assert "spec_auto_disabled_at_acceptance" in stats
     finally:
         server.shutdown()
+
+
+def test_batcher_transient_retry():
+    """One transient tunnel fault must not 500 a whole batch.
+
+    serve_load_r4's /qa legs showed 2-12 errors per run — exactly one or two
+    failed batches of ~10: a single FAILED_PRECONDITION from the remote-TPU
+    tunnel failed every request in the window batch. Scoring is a pure
+    function of (params, batch), so _Batcher retries transient faults."""
+    from frozenbilm_tpu.tasks.serve import _Batcher, _is_transient_backend_error
+
+    class FlakyService:
+        batch_size = 4
+
+        def __init__(self, fail_times, msg):
+            self.fails_left = fail_times
+            self.msg = msg
+            self.calls = 0
+
+        def score(self, payloads):
+            self.calls += 1
+            if self.fails_left:
+                self.fails_left -= 1
+                raise RuntimeError(self.msg)
+            return [{"answer": "ok"} for _ in payloads]
+
+    svc = FlakyService(1, "INTERNAL: ... FAILED_PRECONDITION: claim lost")
+    b = _Batcher(svc, window_ms=1.0)
+    out = b.submit({"question": "q"})
+    assert out == {"answer": "ok"}
+    assert svc.calls == 2
+    assert b.stats()["backend_retries"] == 1
+
+    # non-transient errors still propagate immediately (no retry)
+    svc2 = FlakyService(1, "ValueError: bad shape (8, 7)")
+    b2 = _Batcher(svc2, window_ms=1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        b2.submit({"question": "q"})
+    assert svc2.calls == 1
+    assert b2.stats()["backend_retries"] == 0
+
+    # a persistent transient fault gives up after 3 attempts
+    svc3 = FlakyService(99, "FAILED_PRECONDITION: down for good")
+    b3 = _Batcher(svc3, window_ms=1.0)
+    with _pytest.raises(RuntimeError):
+        b3.submit({"question": "q"})
+    assert svc3.calls == 3
+    assert _is_transient_backend_error(RuntimeError("DEADLINE_EXCEEDED"))
