@@ -52,6 +52,20 @@ def _bucket_for(n: int, buckets) -> Optional[int]:
     return None
 
 
+def is_transient_backend_error(e: Exception) -> bool:
+    """Transient remote-TPU (axon tunnel) faults worth retrying.
+
+    The tunnel occasionally throws FAILED_PRECONDITION mid-run and the
+    compile proxy can 500 transiently (CLAUDE.md); greedy decode is a pure
+    function of (params, prompt), so re-running a request from scratch is
+    safe. Real input errors (shape/validation) never match these
+    substrings."""
+    msg = repr(e)
+    return ("FAILED_PRECONDITION" in msg
+            or "remote_compile" in msg
+            or "DEADLINE_EXCEEDED" in msg)
+
+
 class InflightEngine:
     """Slot-based continuous batching over a pooled KV cache.
 
@@ -146,6 +160,7 @@ class InflightEngine:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
                       "occupancy_sum": 0, "admissions": 0, "failures": 0,
+                      "resubmissions": 0,
                       # spec mode: emitted tokens / per-row verify steps —
                       # the realized acceptance the speculative bet depends
                       # on (serve.py's auto-off monitor reads these)
@@ -716,10 +731,19 @@ class InflightEngine:
     def _fail_inflight(self, exc: Exception):
         """Failure containment: a raising device step (transient backend
         error, OOM) must not strand in-flight requests on tickets nobody
-        will ever fill. Every live request gets the error, slots are
-        freed, and the device state is rebuilt so the NEXT request starts
-        from a clean pool (the params are untouched — only decode state is
-        lost)."""
+        will ever fill. Slots are freed and the device state is rebuilt so
+        the NEXT request starts from a clean pool (the params are untouched
+        — only decode state is lost).
+
+        Transient backend faults (is_transient_backend_error) additionally
+        RESUBMIT the affected requests instead of erroring them: decode
+        restarts from the retained prompt on the rebuilt pool — greedy rows
+        are deterministic so clients see identical tokens, sampled rows get
+        a fresh (still valid) sample. Streams that already emitted deltas
+        cannot be replayed and still get the error, as does any request
+        already resubmitted twice (a persistent fault must not blackhole
+        clients past serve_timeout_s)."""
+        transient = is_transient_backend_error(exc)
         with self._lock:
             # count BEFORE filling tickets: a waiter that wakes on its
             # ticket must already see the failure in stats
@@ -731,15 +755,29 @@ class InflightEngine:
         for slot in range(self.S):
             req = self._slots[slot]
             if req is not None:
-                req["ticket"].put({"error": f"engine step failed: {exc!r}"})
+                recoverable = (transient
+                               and req.get("requeues", 0) < 2
+                               and not (req["stream"] and req["out"]))
+                if recoverable:
+                    req["requeues"] = req.get("requeues", 0) + 1
+                    req["out"] = []
+                    self._waiting.put(req)
+                    with self._lock:
+                        self.stats["resubmissions"] += 1
+                else:
+                    req["ticket"].put(
+                        {"error": f"engine step failed: {exc!r}"})
                 self._slots[slot] = None
             self._active[slot] = False
-        while not self._waiting.empty():
-            try:
-                self._waiting.get_nowait()["ticket"].put(
-                    {"error": f"engine step failed: {exc!r}"})
-            except queue.Empty:
-                break
+        if not transient:
+            # a non-transient fault (poisoned program, real bug) would just
+            # recur — fail queued work too rather than loop on it
+            while not self._waiting.empty():
+                try:
+                    self._waiting.get_nowait()["ticket"].put(
+                        {"error": f"engine step failed: {exc!r}"})
+                except queue.Empty:
+                    break
         self._nprev[:] = 0
         try:
             self._rebuild_state()

@@ -53,6 +53,7 @@ import numpy as np
 
 from frozenbilm_tpu.config import get_args_parser
 from frozenbilm_tpu.data.features import subsample_or_pad
+from frozenbilm_tpu.tasks.engine import is_transient_backend_error
 from frozenbilm_tpu.data.prompts import normalize_question, videoqa_prompt
 from frozenbilm_tpu.data.tokenization import (
     answers_to_token_ids,
@@ -763,17 +764,9 @@ class _InflightBatcher:
         return out
 
 
-def _is_transient_backend_error(e: Exception) -> bool:
-    """Transient remote-TPU (axon tunnel) faults worth retrying.
-
-    The tunnel occasionally throws FAILED_PRECONDITION mid-run and the
-    compile proxy can 500 transiently (CLAUDE.md); a jitted score call is a
-    pure function of (params, batch), so re-dispatching it is safe. Real
-    input errors (shape/validation) never match these substrings."""
-    msg = repr(e)
-    return ("FAILED_PRECONDITION" in msg
-            or "remote_compile" in msg
-            or "DEADLINE_EXCEEDED" in msg)
+# a jitted score call is a pure function of (params, batch), so
+# re-dispatching it on a transient tunnel fault is safe
+_is_transient_backend_error = is_transient_backend_error
 
 
 class _Batcher:
@@ -937,6 +930,15 @@ def make_handler(batcher: _Batcher, service):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5: a 32-client stampede of fresh
+    # connections overflows it and the kernel RSTs the overflow — the 2-12
+    # "errors" per serve_load /qa leg were exactly these
+    # ConnectionResetError(104)s (serve_load error_samples, round 4), not
+    # server faults. 128 covers any sane client fan-in.
+    request_queue_size = 128
+
+
 def build_server(args) -> ThreadingHTTPServer:
     from frozenbilm_tpu.models import family_of
 
@@ -954,7 +956,7 @@ def build_server(args) -> ThreadingHTTPServer:
             service = InflightGenService(args)  # warms all buckets itself
             batcher = _InflightBatcher(service)
 
-            class _InflightServer(ThreadingHTTPServer):
+            class _InflightServer(_Server):
                 def shutdown(self):
                     super().shutdown()
                     # stop the engine thread and drop its pooled device
@@ -977,8 +979,8 @@ def build_server(args) -> ThreadingHTTPServer:
         service = QAService(args)
         service.score([{"question": "what is happening?", "topk": 1}])
     batcher = _Batcher(service, window_ms=args.serve_window_ms)
-    server = ThreadingHTTPServer((args.serve_host, args.port),
-                                 make_handler(batcher, service))
+    server = _Server((args.serve_host, args.port),
+                     make_handler(batcher, service))
     return server
 
 

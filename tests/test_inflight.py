@@ -421,3 +421,62 @@ def test_engine_pipeline_matches_sync_and_reference():
         want = _reference_tokens("gptneo", cfg, vt, params, ids,
                                  (8, 16), mn, None)
         assert got == want, (ids.tolist(), mn)
+
+
+def test_engine_transient_failure_resubmits_requests():
+    """A TRANSIENT backend fault (tunnel FAILED_PRECONDITION) resubmits the
+    in-flight requests instead of erroring them: greedy decode is a pure
+    function of (params, prompt), so the client gets the exact tokens it
+    would have gotten without the fault. Queued requests stay queued."""
+    import threading
+
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(11)
+    ids = rng.integers(3, 64, size=6).astype(np.int32)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                         chunk=2, prompt_buckets=(8,), eos_token_id=None)
+    t1 = eng.submit(ids, max_new_tokens=8)
+    eng.step_once()  # admit + first chunk on the healthy step
+    orig = eng._step_fn
+    fired = [0]
+
+    def boom_once(*a, **k):
+        if not fired[0]:
+            fired[0] = 1
+            raise RuntimeError(
+                "INTERNAL: ... FAILED_PRECONDITION: claim lost")
+        return orig(*a, **k)
+
+    eng._step_fn = boom_once
+    stop = threading.Event()
+    th = threading.Thread(target=eng.run_forever, args=(stop,), daemon=True)
+    th.start()
+    r1 = t1.get(timeout=120)
+    stop.set()
+    th.join(timeout=5)
+    want = _reference_tokens("gptneo", cfg, vt, params, ids, eng.buckets,
+                             8, None)
+    assert r1.get("tokens") == want, r1
+    assert eng.stats["failures"] == 1
+    assert eng.stats["resubmissions"] == 1
+
+    # a PERSISTENT transient-looking fault must not blackhole the client:
+    # after 2 resubmissions the request errors out
+    eng2 = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                          chunk=2, prompt_buckets=(8,), eos_token_id=None)
+    t2 = eng2.submit(ids, max_new_tokens=4)
+    eng2.step_once()
+
+    def boom_always(*a, **k):
+        raise RuntimeError("FAILED_PRECONDITION: down for good")
+
+    eng2._step_fn = boom_always
+    stop2 = threading.Event()
+    th2 = threading.Thread(target=eng2.run_forever, args=(stop2,),
+                           daemon=True)
+    th2.start()
+    r2 = t2.get(timeout=120)
+    stop2.set()
+    th2.join(timeout=5)
+    assert "error" in r2
+    assert eng2.stats["resubmissions"] == 2
