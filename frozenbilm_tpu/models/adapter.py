@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from frozenbilm_tpu.models.common import dropout, linear
 
@@ -27,8 +28,13 @@ def init_adapter_params(key, hidden_dim: int, ds_factor: int, std: float = 1e-3)
 
 
 def adapter_forward(params, x, *, dropout_rate: float, deterministic: bool, rng=None):
-    residual = linear(params["down"], x)
+    # checkpoint_name: no-ops outside a save_only_these_names remat policy
+    # (models/deberta.REMAT_SAVE_NAMES). Both adapter kernels are TRAINABLE,
+    # so the backward needs their inputs: "adapter_mid" covers the up-proj
+    # weight grad (relu/dropout replay from it is elementwise), the down-proj
+    # input is the enclosing layer's saved "out_dense".
+    residual = checkpoint_name(linear(params["down"], x), "adapter_mid")
     residual = jax.nn.relu(residual)
     residual = dropout(rng, residual, dropout_rate, deterministic)
-    residual = linear(params["up"], residual)
+    residual = checkpoint_name(linear(params["up"], residual), "adapter_up")
     return x + residual

@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from frozenbilm_tpu.config import DebertaV2Config, VideoTextConfig
 from frozenbilm_tpu.models.adapter import adapter_forward, init_adapter_params
@@ -265,13 +266,15 @@ def _disentangled_attention(
     h = cfg.hidden_size
     if query_states is hidden_kv:
         # self-attention layers: one fat (M, h, 3h) matmul on the MXU
-        qkv = linear(p_self["qkv_proj"], hidden_kv)
+        qkv = checkpoint_name(linear(p_self["qkv_proj"], hidden_kv), "qkv")
         qc, kc, vc = jnp.split(qkv, 3, axis=-1)
     else:
         # EMD decoder iterations query with H_i + pos (deberta.py:1013-1042):
         # q from query_states via the q column slice, k/v fused from hidden_kv
-        qc = linear(_slice_proj(p_self["qkv_proj"], 0, h), query_states)
-        kv = linear(_slice_proj(p_self["qkv_proj"], h, 3 * h), hidden_kv)
+        qc = checkpoint_name(
+            linear(_slice_proj(p_self["qkv_proj"], 0, h), query_states), "qkv")
+        kv = checkpoint_name(
+            linear(_slice_proj(p_self["qkv_proj"], h, 3 * h), hidden_kv), "qkv")
         kc, vc = jnp.split(kv, 2, axis=-1)
     q = split_heads(qc, nh)  # (B,H,Lq,d)
     k = split_heads(kc, nh)  # (B,H,Lk,d)
@@ -349,6 +352,10 @@ def _disentangled_attention(
                 if "pos_query_proj" in p_self
                 else None
             )
+        if pos_key is not None:
+            pos_key = checkpoint_name(pos_key, "pos_proj")
+        if pos_query is not None:
+            pos_query = checkpoint_name(pos_query, "pos_proj")
         onehot = rel_idx["onehot"]
         chunk = rel_idx.get("chunk") if mode == "skew" else None
 
@@ -431,7 +438,8 @@ def _disentangled_attention(
         )
         return merge_heads(ctx)
 
-    probs = masked_softmax(scores, mask_outer[:, None, :, :])
+    probs = checkpoint_name(
+        masked_softmax(scores, mask_outer[:, None, :, :]), "attn_probs")
     probs = dropout(rngs.next(), probs, cfg.attention_probs_dropout_prob, deterministic)
     ctx = jnp.einsum(
         "bhij,bhjd->bhid", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -441,7 +449,7 @@ def _disentangled_attention(
 
 def _self_output(p_out, cfg, vt, hidden, input_tensor, *, deterministic, rngs, ds_factor):
     """dense -> adapter -> dropout -> LayerNorm(x + input) (deberta.py:254-260)."""
-    hidden = linear(p_out["dense"], hidden)
+    hidden = checkpoint_name(linear(p_out["dense"], hidden), "out_dense")
     if ds_factor and "adapter" in p_out:
         hidden = adapter_forward(
             p_out["adapter"],
@@ -478,7 +486,9 @@ def _layer_forward(
         lp["attention"]["output"], cfg, vt, attn_ctx, q_in,
         deterministic=deterministic, rngs=rngs, ds_factor=vt.ds_factor_attn,
     )
-    inter = ACT2FN[cfg.hidden_act](linear(lp["intermediate"]["dense"], attention_output))
+    inter = ACT2FN[cfg.hidden_act](
+        checkpoint_name(linear(lp["intermediate"]["dense"], attention_output),
+                        "ffn_pre"))
     return _self_output(
         lp["output"], cfg, vt, inter, attention_output,
         deterministic=deterministic, rngs=rngs, ds_factor=vt.ds_factor_ff,
@@ -509,9 +519,40 @@ def _get_rel_embedding(enc_params, cfg):
     return rel
 
 
+# Selective activation checkpointing (remat="names"): the fwd scan of the
+# 0.9B train step saves 7.4 GB of stacked residuals (9x f32 hidden-size
+# stacks from LayerNorm internals, 3x bf16 (B, L, 6144) FFN stacks,
+# duplicated pre/post-dropout attention probs, pred dropout-mask stacks —
+# scripts/train_residuals.py, round-5 attribution /tmp/train_hlo_attrib.json).
+# Saving ONLY the named tensors below (~1.9 GB) and recomputing the cheap
+# elementwise rest (LayerNorm, gelu, softmax-from-saved-probs epilogues,
+# dropout masks from their replayed PRNG, Toeplitz selection) cuts the
+# residual HBM traffic ~4x with zero extra big-matmul FLOPs: every frozen
+# dense needs no weight grad (dL/dW exists only for adapters/linear_video/
+# LNs), so its backward needs only the kernel, and every recompute input
+# below is itself saved.
+REMAT_SAVE_NAMES = (
+    "qkv",         # fused qkv projection (B, L, 3h) — q/k/v without recompute
+    "pos_proj",    # rel-pos key/query projections (H, band, d)
+    "attn_probs",  # PRE-dropout softmax output — its custom-VJP residual
+    "out_dense",   # attention-output and FFN-output dense results (B, L, h)
+    "adapter_mid", # bottleneck down-proj (B, L, h/8) — up-proj weight grads
+    "adapter_up",  # bottleneck up-proj (B, L, h) — downstream recompute root
+    "ffn_pre",     # pre-gelu intermediate (B, L, 4h)
+)
+
+
+def _remat_policy(remat):
+    """jax.checkpoint policy for remat=True (save every dot) or "names"."""
+    if remat == "names":
+        return jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
+    # legacy full remat: matmul outputs with no batch dims stay saved
+    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
+
 def _encoder_forward(
     enc_params, cfg, vt, hidden, attention_mask, *, deterministic, rng,
-    remat: bool = False, act_constraint=None,
+    remat=False, act_constraint=None,
 ):
     """Run all layers; returns (final_hidden, input_to_last_layer).
 
@@ -635,10 +676,7 @@ def _encoder_forward(
         return (out, key), h  # ys collect each layer's *input*
 
     if remat:
-        # rematerialize layer activations on the backward pass (training
-        # memory <-> FLOPs trade; matmul outputs stay saved)
-        step = jax.checkpoint(
-            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        step = jax.checkpoint(step, policy=_remat_policy(remat))
     scan_key = rngs0.next()
     if act_constraint is not None:
         hidden = act_constraint(hidden)
