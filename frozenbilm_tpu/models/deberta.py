@@ -655,7 +655,7 @@ def _encoder_forward(
     # unconditionally and a where() keeps it only at layer 0.
     def step(carry, xs):
         lp, idx = xs
-        h, key = carry
+        h, _prev, key = carry
         if key is not None:
             key, sub = jax.random.split(key)
         else:
@@ -673,17 +673,24 @@ def _encoder_forward(
             out = jnp.where(idx == 0, conv_out, out)
         if act_constraint is not None:
             out = act_constraint(out)
-        return (out, key), h  # ys collect each layer's *input*
+        # thread the PREVIOUS hidden through the carry instead of stacking
+        # every layer input as ys: only layer_inputs[-1] (the input to the
+        # last layer, consumed by the EMD rerun) was ever read, and the ys
+        # stack cost a (n_layers, B, L, H) write each step plus — in
+        # training — a full stacked cotangent with a dynamic-update-slice
+        # at index -1 on the backward pass (round-5 train attribution:
+        # the top single fusion read f32 slices of exactly this stack).
+        return (out, h, key), None
 
     if remat:
         step = jax.checkpoint(step, policy=_remat_policy(remat))
     scan_key = rngs0.next()
     if act_constraint is not None:
         hidden = act_constraint(hidden)
-    (final, _), layer_inputs = jax.lax.scan(
-        step, (hidden, scan_key), (layers, jnp.arange(n_layers)))
-    # input to the last layer == last collected carry (encoder_layers[-2])
-    hidden_minus2 = layer_inputs[-1] if n_layers > 1 else hidden
+    (final, hidden_minus2, _), _ = jax.lax.scan(
+        step, (hidden, hidden, scan_key), (layers, jnp.arange(n_layers)))
+    # hidden_minus2 == input to the last layer (encoder_layers[-2]); for a
+    # single-layer encoder the init value `hidden` passes through unchanged
     return final, hidden_minus2, mask_outer, rel_emb, rel_idx
 
 

@@ -59,8 +59,18 @@ def is_transient_backend_error(e: Exception) -> bool:
     compile proxy can 500 transiently (CLAUDE.md); greedy decode is a pure
     function of (params, prompt), so re-running a request from scratch is
     safe. Real input errors (shape/validation) never match these
-    substrings."""
+    substrings.
+
+    Capacity failures are NOT transient: a remote_compile 500 can be an HBM
+    capacity wall (docs/measurements/train_knee_r4.json), and retrying it
+    only delays the terminal error — any memory-exhaustion signature
+    disqualifies the fault even when a transient marker is also present."""
     msg = repr(e)
+    lowered = msg.lower()
+    if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in lowered
+            or "exceeds the amount of memory" in lowered
+            or "hbm" in lowered):
+        return False
     return ("FAILED_PRECONDITION" in msg
             or "remote_compile" in msg
             or "DEADLINE_EXCEEDED" in msg)
@@ -83,7 +93,8 @@ class InflightEngine:
                  top_k: int = 0, top_p: float = 1.0, kv_int8: bool = False,
                  rng_seed: int = 0, state_sharding: Optional[Dict] = None,
                  spec_draft: int = 0, max_new_cap: int = 64,
-                 pipeline: bool = True):
+                 pipeline: bool = True, admit_batch: int = 4,
+                 adaptive_chunk: bool = True):
         if family not in ("gptneo", "gptj"):
             raise ValueError(f"in-flight engine supports GPT families, got {family}")
         self.params = params
@@ -131,13 +142,32 @@ class InflightEngine:
         # TP-sharded params). Applied at init (device_put) AND as a
         # with_sharding_constraint on every program's returned state, so
         # donated buffers keep one stable sharding across calls.
+        # batched admission: groups of `admit_batch` same-(bucket, video)
+        # requests prefill in ONE compiled program (one device dispatch +
+        # a batched prefill forward, vs one per request). Under a retire
+        # burst — e.g. closed-loop clients resubmitting together — this
+        # collapses the per-request admission serialization that kept the
+        # uniform-load engine at ~73% of window batching (serve_load_r4).
+        # Disabled in spec mode (drafting state is per-row anyway).
+        self._admit_batch = 0 if self.spec else max(0, int(admit_batch))
+        # descending group sizes tried by the admission loop (each size is
+        # one compiled program per (bucket, video); remainders go single)
+        self._admit_sizes = tuple(
+            a for a in (self._admit_batch, self._admit_batch // 2)
+            if a >= 2 and a <= self.S)
+        # adaptive chunk: when nothing is waiting and every live row has
+        # >= 2C budget left, dispatch a double-length chunk — half the
+        # host<->device round trips in the steady state, zero admission-
+        # latency cost (the long chunk only runs when no one is waiting).
+        self._adaptive = bool(adaptive_chunk) and not self.spec
         self._state_shard = state_sharding
         self.state = self._init_state()
         if state_sharding is not None:
             self.state = jax.tree.map(
                 jax.device_put, self.state, self._shard_tree(self.state))
         self._admit_cache: Dict = {}
-        self._step_fn = self._make_step()
+        self._step_fn = self._make_step(self.C)
+        self._step_fn2 = self._make_step(2 * self.C) if self._adaptive else None
 
         # host bookkeeping
         self._waiting: "queue.Queue" = queue.Queue()
@@ -154,6 +184,11 @@ class InflightEngine:
         self._pipeline = bool(pipeline)
         self._pending = None
         self._cooling = np.zeros(self.S, dtype=bool)
+        # tokens dispatched per slot since admission (first token included):
+        # the adaptive-chunk budget check reads this, so a double chunk is
+        # only dispatched when NO live row can exhaust its budget inside it
+        # (junk slack stays C, same as the fixed-chunk pipeline)
+        self._disp = np.zeros(self.S, dtype=np.int64)
         self._admitted_first: List = []  # (slot, device first-token) pairs
         self._active_dev = None  # device copy of _active, refreshed on change
         self._active_host = None
@@ -330,7 +365,70 @@ class InflightEngine:
             return jax.jit(spec_admit, donate_argnums=(1,))
         return jax.jit(admit, donate_argnums=(1,))
 
-    def _make_step(self):
+    def _make_admit_many(self, has_video: bool, A: int):
+        """One jitted program admitting A same-bucket requests: a single
+        BATCHED prefill forward (amortizing both the device dispatch and the
+        prefix compute over A prompts) followed by A per-slot inserts. The
+        whole-batch ancestor is the window batcher's batched generate; here
+        the batch is only the admission — decode stays per-slot."""
+        from frozenbilm_tpu.ops.sampling import select_token
+
+        eos, pad, Lmax = self.eos, self.pad, self.Lmax
+
+        def admit_many(params, state, slots, ids, am, video, vmask, temps, rng):
+            out = self._prefill(params, ids, am, video, vmask)
+            kv_k, kv_v = out.kv  # (nl, A, nh, T0, hd)
+            if has_video:
+                full_am = jnp.concatenate([vmask.astype(am.dtype), am], axis=1)
+            else:
+                full_am = am
+            firsts = select_token(out.logits[:, -1, :], rng, temperature=temps,
+                                  top_k=self.top_k, top_p=self.top_p)  # (A,)
+            T0 = kv_k.shape[3]
+            rows = jnp.pad(full_am.astype(jnp.float32),
+                           [(0, 0), (0, Lmax - T0)])
+            poss = jnp.sum(full_am, axis=1).astype(jnp.int32)
+            k, v = state["k"], state["v"]
+            mask, cur, t = state["mask"], state["cur"], state["t"]
+            pos, unf, tempsS = state["pos"], state["unfinished"], state["temps"]
+            if self.kv_int8:
+                from frozenbilm_tpu.ops.quant import kv_quantize
+
+                kq, vq = kv_quantize(kv_k), kv_quantize(kv_v)
+            for a in range(A):
+                slot = slots[a]
+                if self.kv_int8:
+                    k = {"q": jax.lax.dynamic_update_slice(
+                             k["q"], kq["q"][:, a:a + 1], (0, slot, 0, 0, 0)),
+                         "s": jax.lax.dynamic_update_slice(
+                             k["s"], kq["s"][:, a:a + 1], (0, slot, 0, 0))}
+                    v = {"q": jax.lax.dynamic_update_slice(
+                             v["q"], vq["q"][:, a:a + 1], (0, slot, 0, 0, 0)),
+                         "s": jax.lax.dynamic_update_slice(
+                             v["s"], vq["s"][:, a:a + 1], (0, slot, 0, 0))}
+                else:
+                    dt = k.dtype
+                    k = jax.lax.dynamic_update_slice(
+                        k, kv_k[:, a:a + 1].astype(dt), (0, slot, 0, 0, 0))
+                    v = jax.lax.dynamic_update_slice(
+                        v, kv_v[:, a:a + 1].astype(dt), (0, slot, 0, 0, 0))
+                mask = jax.lax.dynamic_update_slice(
+                    mask, rows[a:a + 1], (slot, 0))
+                cur = cur.at[slot].set(firsts[a].astype(jnp.int32))
+                t = t.at[slot].set(jnp.int32(T0))
+                pos = pos.at[slot].set(poss[a])
+                unf0 = (firsts[a] != eos) if eos is not None \
+                    else jnp.asarray(True)
+                unf = unf.at[slot].set(unf0)
+                tempsS = tempsS.at[slot].set(temps[a])
+            new = dict(state)
+            new.update({"k": k, "v": v, "mask": mask, "cur": cur, "t": t,
+                        "pos": pos, "unfinished": unf, "temps": tempsS})
+            return self._constrain(new), firsts
+
+        return jax.jit(admit_many, donate_argnums=(1,))
+
+    def _make_step(self, C: int):
         """The compiled engine heartbeat: C single-token steps over all S
         slots in one lax.scan. Rows where `unfinished & active` is False are
         frozen (t/pos/mask untouched, pad emitted) so free and finished
@@ -338,7 +436,7 @@ class InflightEngine:
         from frozenbilm_tpu.ops.sampling import select_token
 
         cfg = self.cfg
-        eos, pad, C, Lmax = self.eos, self.pad, self.C, self.Lmax
+        eos, pad, Lmax = self.eos, self.pad, self.Lmax
 
         if self.family == "gptneo":
             from frozenbilm_tpu.models.gptneo import _decode_many as _dm
@@ -552,12 +650,26 @@ class InflightEngine:
         except Exception as e:  # noqa: BLE001
             # the req is already off _waiting and not yet in _slots —
             # _fail_inflight (via run_forever) would never see its ticket.
-            # Fill it here, then let the caller's containment reset the
-            # pool (the donated state may be half-consumed).
-            req["ticket"].put({"error": f"admission failed: {e!r}"})
+            # Transient faults requeue the request (same bounded policy as
+            # step-fault resubmission: a just-resubmitted request must not
+            # terminally fail on its first re-admission); anything else
+            # errors the ticket. Either way re-raise so the caller's
+            # containment resets the pool (the donated state may be
+            # half-consumed).
+            if (is_transient_backend_error(e)
+                    and req.get("requeues", 0) < 2
+                    and not (req["stream"] and req["out"])):
+                req["requeues"] = req.get("requeues", 0) + 1
+                req["out"] = []
+                self._waiting.put(req)
+                with self._lock:
+                    self.stats["resubmissions"] += 1
+            else:
+                req["ticket"].put({"error": f"admission failed: {e!r}"})
             raise
         self._slots[slot] = req
         self._active[slot] = True
+        self._disp[slot] = 1
         with self._lock:
             self.stats["admissions"] += 1
         if self._pipeline:
@@ -568,6 +680,59 @@ class InflightEngine:
         else:
             self._emit(slot, [first])
         return True
+
+    def _admit_group(self, reqs, slots):
+        """Admit len(reqs) same-(bucket, video) requests in ONE compiled
+        batched-prefill program. Error containment matches _admit_one:
+        transient faults requeue (bounded), others error the tickets; the
+        exception propagates so the caller's containment resets the
+        half-donated pool."""
+        A = len(reqs)
+        b = len(reqs[0]["ids"])
+        has_video = reqs[0]["video"] is not None
+        key = (b, has_video, A)
+        if key not in self._admit_cache:
+            self._admit_cache[key] = self._make_admit_many(has_video, A)
+        ids = jnp.asarray(np.stack([r["ids"] for r in reqs]))
+        am = jnp.asarray(np.stack([r["am"] for r in reqs]))
+        if has_video:
+            video = jnp.asarray(np.stack(
+                [np.asarray(r["video"], np.float32) for r in reqs]))
+            vmask = jnp.asarray(np.stack(
+                [np.asarray(r["vmask"], np.int32) if r.get("vmask") is not None
+                 else np.ones(video.shape[1], np.int32) for r in reqs]))
+        else:
+            video = vmask = None
+        temps = jnp.asarray([r["temperature"] for r in reqs], jnp.float32)
+        rng = jax.random.fold_in(self._rng, self._step_ctr)
+        self._step_ctr += 1
+        try:
+            self.state, firsts = self._admit_cache[key](
+                self.params, self.state, np.asarray(slots, np.int32), ids,
+                am, video, vmask, temps, rng)
+        except Exception as e:  # noqa: BLE001
+            transient = is_transient_backend_error(e)
+            for r in reqs:
+                if (transient and r.get("requeues", 0) < 2
+                        and not (r["stream"] and r["out"])):
+                    r["requeues"] = r.get("requeues", 0) + 1
+                    r["out"] = []
+                    self._waiting.put(r)
+                    with self._lock:
+                        self.stats["resubmissions"] += 1
+                else:
+                    r["ticket"].put({"error": f"admission failed: {e!r}"})
+            raise
+        for i, (r, slot) in enumerate(zip(reqs, slots)):
+            self._slots[slot] = r
+            self._active[slot] = True
+            self._disp[slot] = 1
+            if self._pipeline:
+                self._admitted_first.append((slot, firsts[i]))
+            else:
+                self._emit(slot, [int(firsts[i])])
+        with self._lock:
+            self.stats["admissions"] += A
 
     def realized_acceptance(self):
         """(acceptance, row_steps): emitted tokens per per-row verify step
@@ -632,6 +797,61 @@ class InflightEngine:
                 if active_snap[slot] and self._slots[slot] is not None:
                     self._emit(slot, toks[slot].tolist())
 
+    def _admit_waiting(self) -> bool:
+        """Admit queued requests into free slots, same-(bucket, video)
+        groups of _admit_sizes first (one batched-prefill dispatch each),
+        singles for the remainder. Grouping may reorder requests across
+        buckets within one iteration — acceptable: per-bucket FIFO order is
+        preserved, and every pulled request is admitted or requeued this
+        call. On a device fault the not-yet-admitted pulls are requeued
+        before the exception propagates to the containment path."""
+        if self._waiting.empty():
+            return False
+        free = [i for i in range(self.S)
+                if not self._active[i] and not self._cooling[i]]
+        pulled: List[Dict] = []
+        while len(pulled) < len(free) and not self._waiting.empty():
+            try:
+                pulled.append(self._waiting.get_nowait())
+            except queue.Empty:
+                break
+        if not pulled:
+            return False
+        admitted = False
+        groups: Dict = {}
+        for r in pulled:
+            groups.setdefault(
+                (len(r["ids"]), r["video"] is not None), []).append(r)
+        singles: List[Dict] = []
+        try:
+            for reqs in groups.values():
+                for A in self._admit_sizes:
+                    while len(reqs) >= A and len(free) >= A:
+                        batch = [reqs.pop(0) for _ in range(A)]
+                        slots = [free.pop(0) for _ in range(A)]
+                        self._admit_group(batch, slots)
+                        admitted = True
+                singles.extend(reqs)
+                reqs.clear()
+            while singles:
+                r = singles.pop(0)
+                if not self._admit_one(r):  # every free slot is cooling
+                    self._waiting.put(r)
+                    break
+                admitted = True
+            for r in singles:
+                self._waiting.put(r)
+        except Exception:
+            # _admit_group/_admit_one already requeued or errored their own
+            # requests; everything still pulled goes back on the queue
+            for reqs in groups.values():
+                for r in reqs:
+                    self._waiting.put(r)
+            for r in singles:
+                self._waiting.put(r)
+            raise
+        return admitted
+
     def step_once(self) -> bool:
         """One engine iteration: admit -> dispatch chunk k -> process chunk
         k-1. Returns True if any work happened.
@@ -648,16 +868,7 @@ class InflightEngine:
             if self._waiting.empty():
                 return False
             self._rebuild_state()
-        admitted = False
-        while not self._waiting.empty() and self._active.sum() < self.S:
-            try:
-                req = self._waiting.get_nowait()
-            except queue.Empty:
-                break
-            if not self._admit_one(req):  # every free slot is cooling
-                self._waiting.put(req)
-                break
-            admitted = True
+        admitted = self._admit_waiting()
         dispatched = False
         if self._active.any():
             active_snap = self._active.copy()
@@ -667,13 +878,28 @@ class InflightEngine:
                     or not np.array_equal(active_snap, self._active_host)):
                 self._active_dev = jnp.asarray(active_snap)
                 self._active_host = active_snap
-            self.state, toks = self._step_fn(self.params, self.state,
-                                             self._active_dev, self._rng,
-                                             np.int32(self._step_ctr))
-            self._step_ctr += self.C
+            # adaptive chunk: with an empty queue and every live row holding
+            # >= 2C of budget, run the double-length program — half the
+            # per-chunk dispatches in the steady state, no admission-latency
+            # cost (a waiting request always forces the short chunk), and no
+            # extra junk slack (no row can exhaust its budget inside 2C)
+            use2 = (
+                self._step_fn2 is not None
+                and self._waiting.empty()
+                and all(self._slots[s] is not None
+                        and self._slots[s]["max_new"] - self._disp[s]
+                        >= 2 * self.C
+                        for s in range(self.S) if active_snap[s]))
+            fn = self._step_fn2 if use2 else self._step_fn
+            c_now = 2 * self.C if use2 else self.C
+            self.state, toks = fn(self.params, self.state,
+                                  self._active_dev, self._rng,
+                                  np.int32(self._step_ctr))
+            self._step_ctr += c_now
+            self._disp[active_snap] += c_now
             with self._lock:
-                self.stats["steps"] += self.C
-                self.stats["occupancy_sum"] += int(active_snap.sum()) * self.C
+                self.stats["steps"] += c_now
+                self.stats["occupancy_sum"] += int(active_snap.sum()) * c_now
             dispatched = True
             if not self._pipeline:
                 self._process_toks(toks, active_snap)
@@ -709,10 +935,11 @@ class InflightEngine:
             self.step_once()
 
     def warm(self, with_video: bool = False):
-        """Compile every admission program (one per prompt bucket, x2 with
-        video) plus the step program BEFORE taking traffic: a first-use
-        compile inside the serving loop would stall every in-flight slot
-        for the full compile (minutes over a remote-TPU link)."""
+        """Compile every admission program (singles per prompt bucket, x2
+        with video, plus each batched-admission size) and both step programs
+        BEFORE taking traffic: a first-use compile inside the serving loop
+        would stall every in-flight slot for the full compile (minutes over
+        a remote-TPU link)."""
         F, D = self.vt.max_feats, self.vt.features_dim
         for b in self.buckets:
             ids = np.full(b, self.pad, np.int32)
@@ -721,6 +948,27 @@ class InflightEngine:
                 self.submit(ids, video=np.zeros((F, D), np.float32),
                             max_new_tokens=1)
         self.drain()
+        # batched admission: A same-bucket requests waiting over A free
+        # slots route through _admit_group, compiling the (b, video, A)
+        # program. drain() between variants so groups don't merge.
+        for A in self._admit_sizes:
+            for b in self.buckets:
+                variants = [None]
+                if with_video and D:
+                    variants.append(np.zeros((F, D), np.float32))
+                for video in variants:
+                    for _ in range(A):
+                        self.submit(np.full(b, self.pad, np.int32),
+                                    video=video, max_new_tokens=1)
+                    self.drain()
+        if self._step_fn2 is not None:
+            # one request with enough budget that the first chunk dispatch
+            # meets the double-chunk condition (queue empty, budget >= 2C)
+            need = 2 * self.C + 2
+            if self.buckets[0] + need <= self.Lmax:
+                self.submit(np.full(self.buckets[0], self.pad, np.int32),
+                            max_new_tokens=need)
+                self.drain()
 
     def close(self):
         """Drop the pooled device state (serving shutdown). The owner is
@@ -760,10 +1008,18 @@ class InflightEngine:
                                and not (req["stream"] and req["out"]))
                 if recoverable:
                     req["requeues"] = req.get("requeues", 0) + 1
+                    # discard the partial output AND its token count, so
+                    # tokens/throughput stats reflect DELIVERED tokens only
+                    # (a replayed request would otherwise double-count its
+                    # prefix). admissions/occupancy keep counting replays —
+                    # that device work really happened. Spec-mode
+                    # spec_emitted keeps the discarded prefix too: realized
+                    # acceptance is a per-verify-step device-side ratio.
+                    with self._lock:
+                        self.stats["tokens"] -= len(req["out"])
+                        self.stats["resubmissions"] += 1
                     req["out"] = []
                     self._waiting.put(req)
-                    with self._lock:
-                        self.stats["resubmissions"] += 1
                 else:
                     req["ticket"].put(
                         {"error": f"engine step failed: {exc!r}"})
@@ -779,6 +1035,7 @@ class InflightEngine:
                 except queue.Empty:
                     break
         self._nprev[:] = 0
+        self._disp[:] = 0
         try:
             self._rebuild_state()
         except Exception:  # noqa: BLE001 — backend still down

@@ -507,7 +507,9 @@ class InflightGenService:
             top_k=args.serve_top_k, top_p=args.serve_top_p,
             kv_int8=bool(getattr(args, "serve_kv_int8", 0)),
             rng_seed=args.seed, max_new_cap=self.max_new,
-            pipeline=bool(getattr(args, "serve_inflight_pipeline", 1)))
+            pipeline=bool(getattr(args, "serve_inflight_pipeline", 1)),
+            admit_batch=int(getattr(args, "serve_admit_batch", 4)),
+            adaptive_chunk=bool(getattr(args, "serve_adaptive_chunk", 1)))
         self._family = family_of(args.model_name)
         self._engine_lock = threading.Lock()
         self._stop = threading.Event()
@@ -841,7 +843,12 @@ class _Batcher:
                             raise
                         with self._lock:
                             self.n_retries += 1
-                        time.sleep(0.25 * (attempt + 1))
+                        # short first backoff: this sleep runs in the single
+                        # batcher thread, so every queued window waits behind
+                        # it — transient tunnel faults usually clear
+                        # immediately, and the longer waits are for the rare
+                        # second retry (ADVICE r4)
+                        time.sleep((0.05, 0.25)[attempt])
                 for (_, slot), res in zip(batch, results):
                     slot["result"] = res
             except Exception as e:  # propagate per-request, keep serving
@@ -1030,6 +1037,17 @@ def get_serve_parser():
                              "fetch/retire bookkeeping for chunk k-1 with "
                              "the device executing chunk k (hides the "
                              "host<->device round trip; 0 = synchronous)")
+    parser.add_argument("--serve_admit_batch", type=int, default=4,
+                        help="in-flight engine: admit up to this many "
+                             "same-bucket requests per compiled batched "
+                             "prefill (collapses per-request admission "
+                             "dispatches under bursty arrivals; 0 = "
+                             "one-at-a-time)")
+    parser.add_argument("--serve_adaptive_chunk", type=int, default=1,
+                        help="in-flight engine: dispatch a double-length "
+                             "decode chunk whenever the queue is empty and "
+                             "every live row has the budget for it (halves "
+                             "steady-state dispatches; 0 = fixed chunk)")
     parser.add_argument("--serve_spec_auto_off_steps", type=int, default=512,
                         help="in-flight + speculative: after this many "
                              "per-row verify steps, auto-swap to a plain "

@@ -39,7 +39,7 @@ QA_CLIENTS = 4 if SMALL else 32
 GEN_CLIENTS = 2 if SMALL else 8
 DURATION_S = 3.0 if SMALL else 20.0
 QA_WINDOWS = (2.0,) if SMALL else (2.0, 10.0, 25.0)
-OUT = os.environ.get("FROZENBILM_LOAD_OUT", "/tmp/serve_load_r3.json")
+OUT = os.environ.get("FROZENBILM_LOAD_OUT", "/tmp/serve_load_r5.json")
 
 
 def _mk_qa_env(root):
@@ -234,6 +234,14 @@ def _legs():
                                              "--serve_inflight_chunk", "8"]))
         gen_variants.append(("inflight_c16", ["--serve_inflight", "8",
                                               "--serve_inflight_chunk", "16"]))
+        # round-5 attribution control: batched admission + adaptive chunk
+        # OFF (the round-4 engine shape) at the same c8 config — the delta
+        # vs inflight_c8 is exactly the two new optimizations
+        gen_variants.append(("inflight_noopt",
+                             ["--serve_inflight", "8",
+                              "--serve_inflight_chunk", "8",
+                              "--serve_admit_batch", "0",
+                              "--serve_adaptive_chunk", "0"]))
     if not SMALL:
         # the headline serving config: continuous batching + per-slot
         # prompt-lookup speculation (greedy-exact)
@@ -252,10 +260,13 @@ def _legs():
                        "--serve_inflight_chunk", "4"])
     if not SMALL:
         # 2 slots: the 4-slot int8 engine OOM'd warm even with donated
-        # quantization; whole-batch 6B int8 decode is covered by bench
+        # quantization; whole-batch 6B int8 decode is covered by bench.
+        # admit_batch off: a second (batched) 6B prefill program is compile/
+        # HBM pressure this leg cannot afford (it failed rc=1 in round 4)
         legs["generate6b_int8_inflight_w10ms"] = (
             "generate6b", ["--quantize", "w8a8", "--serve_inflight", "2",
-                           "--serve_inflight_chunk", "8"])
+                           "--serve_inflight_chunk", "8",
+                           "--serve_admit_batch", "0"])
     return legs
 
 
@@ -378,22 +389,30 @@ def main():
         if name in done and "error" not in done[name]:
             print(f"# {name}: already recorded, skipping", flush=True)
             continue
+        err_tail = ""
         for attempt in range(2):
             try:
+                # capture stderr so a failed leg leaves a diagnosable record
+                # (round 4's generate6b_int8 leg died as an opaque "rc=1")
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), name],
                     cwd=os.path.dirname(
                         os.path.dirname(os.path.abspath(__file__))),
+                    stderr=subprocess.PIPE,
                     timeout=3600)  # 6B legs compile several programs
                 rc = p.returncode
+                if p.stderr:
+                    err_tail = p.stderr[-1500:].decode(errors="replace")
             except subprocess.TimeoutExpired:
                 rc = "timeout"
             if rc == 0:
                 break
-            print(f"# {name}: child rc={rc} (attempt {attempt})", flush=True)
+            print(f"# {name}: child rc={rc} (attempt {attempt})\n{err_tail}",
+                  flush=True)
             time.sleep(60)  # axon claim release lag
         else:
-            _merge(name, {"error": f"child failed rc={rc}"})
+            _merge(name, {"error": f"child failed rc={rc}",
+                          "stderr_tail": err_tail})
         time.sleep(5 if SMALL else 60)  # claim release between chip procs
     print(f"# wrote {OUT}", flush=True)
 

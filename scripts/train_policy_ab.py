@@ -80,10 +80,17 @@ def main():
 
     peak = {"TPU v5 lite": 197e12}.get(jax.devices()[0].device_kind, 197e12)
 
-    variants = [("base", False, "threefry", B),
-                ("names", "names", "threefry", B),
-                ("names_rbg", "names", "rbg", B),
-                ("b64_names", "names", "threefry", 2 * B)]
+    default = "base,names,names_rbg,b64_names"
+    spec = os.environ.get("FROZENBILM_TRAIN_AB", default).split(",")
+    all_variants = {
+        "base": (False, "threefry", B),
+        "base_rbg": (False, "rbg", B),
+        "names": ("names", "threefry", B),
+        "names_rbg": ("names", "rbg", B),
+        "b64_names": ("names", "threefry", 2 * B),
+        "b64_names_rbg": ("names", "rbg", 2 * B),
+    }
+    variants = [(n, *all_variants[n]) for n in spec if n in all_variants]
     if small:
         variants = variants[:3]
 
