@@ -954,17 +954,20 @@ def bench_train(small: bool):
         # 20 timed steps: the VERDICT r3 #1 done-criterion (every variant
         # finite over >= 20 steps); compile dominates wall time anyway
         B, T, F, steps, feat_dim = 32, 64, 10, 20, 768
-        # b64_remat doubles the batch WITH remat: B=64 un-rematerialized
-        # needs >16 GB HBM and the compile helper 500s — a capacity wall,
-        # not a transient (docs/measurements/train_knee_r4.json; the knee is
-        # B=32 at 180 items/s, so per-chip batch scaling stops there and
-        # batch scales via DP). base_rbg swaps the per-step random BITS
-        # (dropout masks over (B, H, L, L) x 24 layers + MLM corruption
-        # draws) from threefry VPU work onto the TPU hardware RNG
-        # (--rng_impl rbg)
-        variants = (("base", False, 1), ("b64_remat", True, 1),
+        # b64_names doubles the batch under the remat="names" save-policy:
+        # B=64 un-rematerialized needs >16 GB HBM and the compile helper
+        # 500s — a capacity wall, not a transient (train_knee_r4.json; the
+        # knee is B=32, batch scales via DP). names = selective activation
+        # checkpointing (models/deberta.REMAT_SAVE_NAMES): 7.4 -> 2.65 GB
+        # of residual stacks, 12.9 -> 7.7 GB static HBM; slightly slower
+        # than base at B=32 (the recompute is VPU-bound, train_policy_ab_r5)
+        # but strictly better than the old full remat everywhere. base_rbg
+        # swaps the per-step random BITS (dropout masks over (B, H, L, L) x
+        # 24 layers + MLM corruption draws) from threefry VPU work onto the
+        # TPU hardware RNG (--rng_impl rbg)
+        variants = (("base", False, 1), ("b64_names", "names", 1),
                     ("base_rbg", False, 1),
-                    ("remat", True, 1), ("grad_accum4", False, 4))
+                    ("names_rbg", "names", 1), ("grad_accum4", False, 4))
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
@@ -1010,7 +1013,7 @@ def bench_train(small: bool):
 
     out = {}
     for name, remat, accum in variants:
-        Bv = 2 * B if name in ("base_b64", "b64_remat") else B
+        Bv = 2 * B if name.startswith("b64") else B
         batch = make_batch(Bv)
         step_flops = flops_for(Bv)
         loss_fn = make_mlm_loss_fn(
@@ -1035,7 +1038,7 @@ def bench_train(small: bool):
                 trainer, state, frozen = make_trainer_and_state(
                     loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
                 key = train_key(
-                    1, "rbg" if name == "base_rbg" else "threefry")
+                    1, "rbg" if name.endswith("_rbg") else "threefry")
                 # static peak-HBM: the axon tunnel reports no runtime
                 # memory_stats, so ask XLA's memory analysis of the compiled
                 # step instead (argument + temp + output HBM). Must run

@@ -10,6 +10,7 @@ the HF/torch importer transposes torch's (out, in) layout once at load time.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -61,17 +62,79 @@ def linear(p, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def layer_norm(p, x: jax.Array, eps: float) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_core(x, w, b, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (normed * p["weight"] + p["bias"]).astype(x.dtype)
+    return (normed * w + b).astype(x.dtype)
+
+
+def _layer_norm_fwd(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    normed = (xf - mean) * rstd
+    # Residuals: the (possibly bf16) input + the tiny per-row stats. The
+    # default autodiff instead stashed several FULL-SIZE f32 intermediates
+    # per LayerNorm site — 9x f32[24, B, L, H] stacks (3.1 GB) in the 0.9B
+    # train step's fwd scan (scripts/train_residuals.py, round 5). xhat is
+    # recomputed from them in the backward: one VPU pass vs gigabytes of
+    # HBM residual traffic.
+    return (normed * w + b).astype(x.dtype), (x, w, mean, rstd)
+
+
+def _layer_norm_bwd(eps, res, g):
+    x, w, mean, rstd = res
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    gw = gf * w.astype(jnp.float32)
+    m1 = jnp.mean(gw, axis=-1, keepdims=True)
+    m2 = jnp.mean(gw * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (gw - m1 - xhat * m2)).astype(x.dtype)
+    lead = tuple(range(x.ndim - 1))
+    dw = jnp.sum(gf * xhat, axis=lead).astype(w.dtype)
+    db = jnp.sum(gf, axis=lead).astype(w.dtype)
+    return dx, dw, db
+
+
+_layer_norm_core.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+def layer_norm(p, x: jax.Array, eps: float) -> jax.Array:
+    return _layer_norm_core(x, p["weight"], p["bias"], eps)
+
+
+@jax.custom_vjp
+def _gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_exact_fwd(x):
+    # Residual: the pre-activation only. The default autodiff additionally
+    # saved full-size erf/exp intermediates — at the 0.9B train shape that
+    # was two extra bf16[24, B, L, 4H] residual stacks (~1.4 GB/step,
+    # scripts/train_residuals.py); recomputing them is two VPU
+    # transcendental passes in the backward.
+    return jax.nn.gelu(x, approximate=False), x
+
+
+def _gelu_exact_bwd(x, g):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / math.sqrt(2.0 * math.pi))
+    return ((g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
+
+
+_gelu_exact.defvjp(_gelu_exact_fwd, _gelu_exact_bwd)
 
 
 def gelu(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU — torch.nn.functional.gelu default / HF ACT2FN['gelu']."""
-    return jax.nn.gelu(x, approximate=False)
+    return _gelu_exact(x)
 
 
 def gelu_new(x: jax.Array) -> jax.Array:

@@ -50,6 +50,7 @@ from frozenbilm_tpu.models.common import (
 from frozenbilm_tpu.ops.attention import (
     fused_dattn_enabled,
     fused_disentangled_attention,
+    fused_disentangled_attention_isel,
 )
 from frozenbilm_tpu.ops.masking import cross_entropy_ignore_index, masked_softmax
 from frozenbilm_tpu.ops.rel_pos import (
@@ -356,6 +357,18 @@ def _disentangled_attention(
             pos_key = checkpoint_name(pos_key, "pos_proj")
         if pos_query is not None:
             pos_query = checkpoint_name(pos_query, "pos_proj")
+        if (use_fused and rel_idx.get("isel")
+                and pos_key is not None and pos_query is not None):
+            # In-kernel Toeplitz selection (ops/attention
+            # .fused_disentangled_attention_isel): the kernel consumes the
+            # diagonal-reordered per-head projections whole and builds each
+            # (BI, L) bias tile with a strided lane-rotation — neither the
+            # (B, H, L, L) biases nor any skew relayout copy ever reaches
+            # HBM (the measured top cost of the MC L=512 shape,
+            # docs/MC_ROOFLINE.md).
+            ctx = fused_disentangled_attention_isel(
+                q, k, v, pos_key, pos_query, mask_1d, scale)
+            return merge_heads(ctx)
         onehot = rel_idx["onehot"]
         chunk = rel_idx.get("chunk") if mode == "skew" else None
 
@@ -632,6 +645,19 @@ def _encoder_forward(
             chunk = int(env_chunk) or None
         elif L >= 256:
             chunk = 8 if (deterministic and fused_dattn_enabled(L)) else 24
+    # in-kernel selection: strictly dominates chunked-skew + bias-consuming
+    # kernel when the whole geometry tiles cleanly (L % 128; the strided
+    # lane-rotation needs lane-aligned windows). Eval-only like the other
+    # fused path. FROZENBILM_FUSED_ISEL=0 falls back to chunked skew.
+    isel = (
+        mode == "skew"
+        and deterministic
+        and L % 128 == 0
+        and fused_dattn_enabled(L)
+        and "c2p" in cfg.pos_att_type
+        and "p2c" in cfg.pos_att_type
+        and os.environ.get("FROZENBILM_FUSED_ISEL", "") != "0"
+    )
     rel_idx = {
         "mode": mode,
         "c2p": c2p_idx - lo,
@@ -639,7 +665,8 @@ def _encoder_forward(
         "onehot": onehot,
         "g_c2p": g_c2p,
         "g_p2c": g_p2c,
-        "chunk": chunk,
+        "chunk": None if isel else chunk,
+        "isel": isel,
     }
 
     layers = enc_params["layers"]

@@ -220,6 +220,160 @@ def _pallas_dattn(q, k, v, c2p, p2c, mask_1d, scale, *, p2c_is_ji, hblk,
     return out[:, :, :L, :D]
 
 
+def _dattn_isel_kernel(
+    q_ref, k_ref, v_ref, wc_ref, wq_ref, mask_ref, out_ref,
+    *, inv_scale, L, BI, Wp, hblk,
+):
+    """Disentangled attention with IN-KERNEL Toeplitz selection.
+
+    One grid step = (batch b, hblk heads, query block i of BI rows). The
+    c2p/p2c relative-position biases are built inside the kernel from the
+    diagonal-reordered per-head tables (wc = c2p key projections, wq = p2c
+    query projections; ops/rel_pos.skew_reorder_indices order) — the
+    (B, H, L, L) bias tensors NEVER exist in HBM, and the skew relayout
+    copies (the measured top cost of the MC L=512 shape: misaligned lane
+    shuffles at ~1.5% of HBM bandwidth, docs/MC_ROOFLINE.md) become ONE
+    hardware strided lane-rotation each:
+
+        rect skew  T[r, j] = A[r, (C-1) - r + j]
+                ==  pltpu.roll(A, Wp - C + 1, axis=1, stride=1,
+                               stride_axis=0)[:, :cols]
+
+    since roll(x, s, 1, stride=1, stride_axis=0)[r, j] = x[r, (j-s-r) mod Wp].
+    This per-sublane-strided rotate is the primitive every previous
+    in-kernel-selection attempt lacked (CLAUDE.md round-2/3 failures used
+    per-row dynamic slices and 3D broadcasts, which Mosaic rejects).
+
+    Per head: QK^T (BI, L) + window contractions q-block @ wc-window and
+    k @ wq-window (static 128-aligned windows of width L+BI-1 sliced from
+    the VMEM-resident tables), strided-roll selection, bias adds in f32,
+    exact masked softmax (rows [i0, i0+BI) x all L columns fit the tile),
+    AV — only the (BI, d) context leaves the kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i0 = pl.multiple_of(pl.program_id(2) * BI, BI)
+    mask_i = mask_ref[0, 0, :]  # (L,) int32
+    # int32 first, compare after: Mosaic rejects minor-dim insertion of i1
+    row_mask = mask_ref[0, 0, pl.ds(i0, BI)]
+    vmask = jnp.logical_and(row_mask[:, None] != 0, mask_i[None, :] != 0)
+    for hh in range(hblk):
+        q = q_ref[0, hh]  # (BI, Dp) bf16
+        k = k_ref[0, hh]  # (L, Dp)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BI, L)
+        # c2p: window rows [L - BI - i0, +Wp) of the reordered table
+        wc = wc_ref[hh, pl.ds(pl.multiple_of(L - BI - i0, BI), Wp), :]
+        a = jax.lax.dot_general(
+            q, wc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BI, Wp)
+        c2p = pltpu.roll(a, Wp - BI + 1, axis=1, stride=1, stride_axis=0)
+        s = s + c2p[:, :L]
+        # p2c: window rows [i0, +Wp); selection yields [j, i-i0] -> transpose
+        wq = wq_ref[hh, pl.ds(i0, Wp), :]
+        a2 = jax.lax.dot_general(
+            k, wq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (L, Wp)
+        p2c_ji = pltpu.roll(a2, Wp - L + 1, axis=1, stride=1, stride_axis=0)
+        s = (s + p2c_ji[:, :BI].T) * inv_scale
+        filled = jnp.where(vmask, s, NEG_INF)
+        m = jnp.max(filled, axis=-1, keepdims=True)
+        e = jnp.exp(filled - m)
+        e = jnp.where(vmask, e, 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                            float(np.finfo(np.float32).tiny))
+        p = e / denom
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, hh] = out.astype(out_ref.dtype)
+
+
+def _pallas_dattn_isel(q, k, v, wc, wq, mask_1d, scale, *, hblk, bi,
+                       interpret=False):
+    """Wrapper: pads d to 128 and the tables to (H, 2L, Dp); L must already
+    be a multiple of bi (the deberta caller pads L and builds the reorder
+    tables at the padded length so the diagonal geometry stays exact)."""
+    from jax.experimental import pallas as pl  # noqa: F811 (kernel scope)
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    B, H, L, D = q.shape
+    assert L % bi == 0 and L % 128 == 0, (L, bi)
+    Dp = _round_up(D, 128)
+    Wp = _round_up(L + bi - 1, 128)
+    if H % hblk:
+        hblk = 1
+
+    def pad4(x, last):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, last - x.shape[3])))
+
+    qp, kp, vp = pad4(q, Dp), pad4(k, Dp), pad4(v, Dp)
+    # tables arrive (H, 2L-1, D): pad rows to 2L (>= any window end:
+    # max start L-BI + Wp <= 2L when Wp <= L+BI, true since bi <= 128 <= L)
+    Mp = _round_up(2 * L, 8)
+    wc = jnp.pad(wc, ((0, 0), (0, Mp - wc.shape[1]), (0, Dp - wc.shape[2])))
+    wq = jnp.pad(wq, ((0, 0), (0, Mp - wq.shape[1]), (0, Dp - wq.shape[2])))
+    maskp = jnp.broadcast_to(
+        mask_1d.astype(jnp.int32)[:, None, :], (B, 8, L))
+
+    kernel = functools.partial(
+        _dattn_isel_kernel, inv_scale=1.0 / scale, L=L, BI=bi, Wp=Wp,
+        hblk=hblk)
+    nI = L // bi
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, L, Dp), v.dtype),
+        grid=(B, H // hblk, nI),
+        in_specs=[
+            pl.BlockSpec((1, hblk, bi, Dp), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, L, Dp), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, L, Dp), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hblk, Mp, Dp), lambda b, h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hblk, Mp, Dp), lambda b, h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, L), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hblk, bi, Dp), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp, wc, wq, maskp)
+    return out[:, :, :, :D]
+
+
+def fused_disentangled_attention_isel(
+    q, k, v, pos_key_r, pos_query_r, mask_1d, scale: float,
+    *, hblk: Optional[int] = None, bi: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Fused disentangled attention with IN-KERNEL Toeplitz selection.
+
+    pos_key_r/pos_query_r: (H, 2L-1, d) per-head projections of the
+    DIAGONAL-REORDERED relative embeddings (rows g_c2p / g_p2c from
+    ops/rel_pos.skew_reorder_indices) — the same tables the chunked-skew
+    XLA path contracts against, handed to the kernel whole so neither the
+    (B, H, L, L) biases nor any skew relayout ever touches HBM.
+    """
+    import os
+
+    if hblk is None:
+        hblk = int(os.environ.get("FROZENBILM_ISEL_HBLK", "1") or 1)
+    if bi is None:
+        bi = int(os.environ.get("FROZENBILM_ISEL_BI", "128") or 128)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_dattn_isel(q, k, v, pos_key_r, pos_query_r, mask_1d,
+                              scale, hblk=hblk, bi=bi, interpret=interpret)
+
+
 def fused_dattn_enabled(L: int) -> bool:
     """Gate for the fused disentangled-attention kernel.
 

@@ -243,12 +243,29 @@ def _legs():
                               "--serve_admit_batch", "0",
                               "--serve_adaptive_chunk", "0"]))
     if not SMALL:
-        # the headline serving config: continuous batching + per-slot
-        # prompt-lookup speculation (greedy-exact)
+        # continuous batching + per-slot prompt-lookup speculation
+        # (greedy-exact). Auto-off stays live: if realized acceptance on
+        # this workload is below the verify-step cost, the server swaps to
+        # a plain engine mid-leg and /stats records the acceptance.
         gen_variants.append(("inflight_spec",
                              ["--serve_inflight", "8",
                               "--serve_inflight_chunk", "2",
                               "--serve_speculative", "5"]))
+        # the prompt-lookup SWEET-SPOT probe (VERDICT r4 next #5): highly
+        # repetitive prompts + longer generations, the extractive/subtitle
+        # regime the technique targets. Auto-off disabled so the leg
+        # measures realized acceptance over its whole duration.
+        gen_variants.append(("inflight_spec_rep",
+                             ["--serve_inflight", "8",
+                              "--serve_inflight_chunk", "2",
+                              "--serve_speculative", "5",
+                              "--serve_spec_auto_off_steps", "0",
+                              "--serve_max_new_tokens", "48"]))
+        # greedy control at the same 48-token budget
+        gen_variants.append(("inflight_rep_greedy",
+                             ["--serve_inflight", "8",
+                              "--serve_inflight_chunk", "8",
+                              "--serve_max_new_tokens", "48"]))
     for variant, extra in gen_variants:
         legs[f"generate_{variant}_w10ms"] = ("generate", extra)
     # the one-chip-6B serving story (VERDICT r3 next #7): GPT-J-6B engine
@@ -321,12 +338,26 @@ def run_leg(name):
             "--serve_window_ms", "10",
         ]
 
-        def payload(i):
-            p = {"prompt": questions[i % len(questions)],
-                 "max_new_tokens": 16}
-            if i % 2 == 0:
-                p["video_features"] = feats
-            return p
+        if "_rep" in name:
+            # repetitive subtitle-like prompts: the prompt-lookup regime
+            # (generated continuations can match prompt/history n-grams)
+            rep_prompts = [
+                "the cat sat on the mat the cat sat on the mat the cat sat",
+                "what is the man doing what is the man doing what is the "
+                "man doing what is the man",
+                "red blue red blue red blue red blue red blue red blue",
+            ]
+
+            def payload(i):
+                return {"prompt": rep_prompts[i % len(rep_prompts)],
+                        "max_new_tokens": 48}
+        else:
+            def payload(i):
+                p = {"prompt": questions[i % len(questions)],
+                     "max_new_tokens": 16}
+                if i % 2 == 0:
+                    p["video_features"] = feats
+                return p
 
         path, n_clients = "/generate", GEN_CLIENTS
 

@@ -135,3 +135,68 @@ def test_deberta_forward_fused_matches_xla(monkeypatch, rel_mode):
     monkeypatch.setenv("FROZENBILM_FUSED_ATTN", "1")
     fused = run()
     np.testing.assert_allclose(base, fused, atol=2e-4, rtol=1e-3)
+
+
+def test_isel_kernel_matches_oracle():
+    """In-kernel Toeplitz selection (strided lane-rotation skew) vs the
+    oracle: biases built from diagonal-reordered tables must equal the
+    full-skew reference, including masked tails."""
+    from frozenbilm_tpu.ops.attention import fused_disentangled_attention_isel
+    from frozenbilm_tpu.ops.rel_pos import skew_reorder_indices, skew_select
+
+    B, H, L, D = 2, 2, 256, 16
+    span, buckets, maxpos = 32, 16, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    g_c2p, g_p2c = skew_reorder_indices(L, span, buckets, maxpos)
+    rel = rng.normal(size=(2 * span, D)).astype(np.float32)
+    Wk = jnp.asarray(np.stack([rel[g_c2p], rel[g_c2p] * 0.7]))
+    Wq = jnp.asarray(np.stack([rel[g_p2c] * 0.5, rel[g_p2c]]))
+    mask = np.ones((B, L), np.int32)
+    mask[0, -17:] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(D * 3)
+    c2p = skew_select(jnp.einsum("bhid,hkd->bhik", q, Wk))
+    p2c = skew_select(jnp.einsum("bhjd,hkd->bhjk", k, Wq))  # [j, i]
+    want = disentangled_attention_reference(
+        q, k, v, c2p, p2c, mask, scale, p2c_is_ji=True)
+    for bi, hblk in ((128, 1), (128, 2), (256, 1)):
+        got = fused_disentangled_attention_isel(
+            q, k, v, Wk, Wq, mask, scale, bi=bi, hblk=hblk)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4,
+            err_msg=f"bi={bi} hblk={hblk}")
+
+
+def test_deberta_forward_isel_matches_chunked(monkeypatch):
+    """Model-level: the in-kernel-selection path (auto at skew + L % 128)
+    must match the chunked-skew + bias-consuming fused kernel exactly."""
+    cfg = DebertaV2Config(**{**SMALL, "max_position_embeddings": 256},
+                          pos_att_type=("p2c", "c2p"))
+    vt = VideoTextConfig(features_dim=16, max_feats=4, ds_factor_attn=4,
+                         ds_factor_ff=4, n_ans=0)
+    params = init_deberta_params(jax.random.PRNGKey(0), cfg, vt)
+    rng = np.random.default_rng(3)
+    B, T, F = 2, 124, 4  # L = 128
+    ids = rng.integers(1, 99, size=(B, T))
+    am = np.ones((B, T), np.int64)
+    am[1, -9:] = 0
+    video = rng.normal(size=(B, F, 16)).astype(np.float32)
+    vm = np.ones((B, F), np.int64)
+    monkeypatch.setenv("FROZENBILM_REL_SELECT", "skew")
+    monkeypatch.setenv("FROZENBILM_FUSED_ATTN", "1")
+
+    def run():
+        out = deberta_forward(
+            params, cfg, vt, jnp.asarray(ids), jnp.asarray(am),
+            jnp.asarray(video), jnp.asarray(vm), mlm=True,
+        )
+        return np.asarray(out.logits)
+
+    monkeypatch.setenv("FROZENBILM_FUSED_ISEL", "0")
+    base = run()
+    monkeypatch.delenv("FROZENBILM_FUSED_ISEL")
+    isel = run()
+    np.testing.assert_allclose(base, isel, atol=2e-4, rtol=1e-3)

@@ -547,3 +547,31 @@ def test_thaw_w4_in_program_and_idempotent():
     thawed = np.asarray(jax.jit(lambda qq, xx: linear_w4(
         thaw_w4(qq)["proj"], xx))(q, x))              # in-program thaw
     np.testing.assert_allclose(frozen, thawed, rtol=1e-6, atol=1e-6)
+
+
+def test_clip_int8_feature_cosine():
+    """Extraction-fidelity criterion (VERDICT r4 next #7): per-frame cosine
+    between int8 and full-precision CLIP features must exceed 0.999 —
+    features are consumed as bf16 prefix embeddings downstream, so cosine
+    is the metric that matters for answer ranking. Covers dynamic W8A8 and
+    the calibrated static-scale variant."""
+    from frozenbilm_tpu.config import CLIPVisionConfig
+    from frozenbilm_tpu.models.clip import clip_encode_image, init_clip_vision_params
+    from frozenbilm_tpu.ops.quant import calibrate_act_scales
+
+    cfg = CLIPVisionConfig(image_size=56, patch_size=14, hidden_size=256,
+                           num_layers=4, num_heads=8, projection_dim=64)
+    params = init_clip_vision_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(7)
+    pixels = jnp.asarray(rng.normal(size=(8, 56, 56, 3)), jnp.float32)
+    ref = np.asarray(clip_encode_image(params, cfg, pixels), np.float32)
+
+    q = quantize_tree(params)
+    qs = calibrate_act_scales(
+        lambda p, px: clip_encode_image(p, cfg, px), q, [pixels])
+    for name, qp in (("dynamic", q), ("static", qs)):
+        got = np.asarray(clip_encode_image(qp, cfg, pixels), np.float32)
+        num = np.sum(ref * got, axis=-1)
+        den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+        cos = num / np.maximum(den, 1e-30)
+        assert cos.min() > 0.999, (name, cos.min())
