@@ -965,9 +965,12 @@ def bench_train(small: bool):
         # swaps the per-step random BITS (dropout masks over (B, H, L, L) x
         # 24 layers + MLM corruption draws) from threefry VPU work onto the
         # TPU hardware RNG (--rng_impl rbg)
-        variants = (("base", False, 1), ("b64_names", "names", 1),
-                    ("base_rbg", False, 1),
-                    ("names_rbg", "names", 1), ("grad_accum4", False, 4))
+        # "base" runs the PRODUCTION config (--rng_impl default = rbg, the
+        # TPU hardware RNG — see config.py / docs/TRAIN_ROOFLINE.md);
+        # base_threefry keeps the round-1..4 like-for-like comparison point
+        variants = (("base", False, 1), ("base_threefry", False, 1),
+                    ("b64_names", "names", 1),
+                    ("names", "names", 1), ("grad_accum4", False, 4))
 
     vt = VideoTextConfig(features_dim=feat_dim, max_feats=F,
                          ds_factor_attn=8, ds_factor_ff=8, n_ans=0)
@@ -1038,7 +1041,7 @@ def bench_train(small: bool):
                 trainer, state, frozen = make_trainer_and_state(
                     loss_fn, tx, params, vt, mesh=None, grad_accum=accum)
                 key = train_key(
-                    1, "rbg" if name.endswith("_rbg") else "threefry")
+                    1, "threefry" if name.endswith("_threefry") else "rbg")
                 # static peak-HBM: the axon tunnel reports no runtime
                 # memory_stats, so ask XLA's memory analysis of the compiled
                 # step instead (argument + temp + output HBM). Must run

@@ -392,12 +392,17 @@ def get_args_parser() -> argparse.ArgumentParser:
                              "--mesh_model >= 2; DeBERTa/BERT mc eval + MLM "
                              "pretrain) — for long-L shapes (mc's 512) "
                              "where activation HBM binds before weights")
-    parser.add_argument("--rng_impl", default="threefry",
+    parser.add_argument("--rng_impl", default="rbg",
                         choices=["threefry", "rbg", "unsafe_rbg"],
                         help="PRNG for train-step randomness (dropout / MLM "
-                             "corruption): rbg generates the random bits on "
-                             "the TPU hardware RNG instead of threefry VPU "
-                             "work (train/optim.train_key)")
+                             "corruption). Default rbg: the TPU-idiomatic "
+                             "hardware RNG — deterministic given the key and "
+                             "measurably faster than threefry's u32-add VPU "
+                             "chains (+4-10%% on the 0.9B train step, "
+                             "docs/TRAIN_ROOFLINE.md). threefry restores "
+                             "jax's cross-platform bit-reproducible stream; "
+                             "the reference has no RNG-bitstream contract "
+                             "(torch CUDA RNG differs from any of these).")
     parser.add_argument("--param_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="dtype of frozen backbone params on device")

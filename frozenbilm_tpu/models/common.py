@@ -108,33 +108,16 @@ def layer_norm(p, x: jax.Array, eps: float) -> jax.Array:
     return _layer_norm_core(x, p["weight"], p["bias"], eps)
 
 
-@jax.custom_vjp
-def _gelu_exact(x):
-    return jax.nn.gelu(x, approximate=False)
-
-
-def _gelu_exact_fwd(x):
-    # Residual: the pre-activation only. The default autodiff additionally
-    # saved full-size erf/exp intermediates — at the 0.9B train shape that
-    # was two extra bf16[24, B, L, 4H] residual stacks (~1.4 GB/step,
-    # scripts/train_residuals.py); recomputing them is two VPU
-    # transcendental passes in the backward.
-    return jax.nn.gelu(x, approximate=False), x
-
-
-def _gelu_exact_bwd(x, g):
-    xf = x.astype(jnp.float32)
-    cdf = 0.5 * (1.0 + jax.lax.erf(xf * (2.0 ** -0.5)))
-    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / math.sqrt(2.0 * math.pi))
-    return ((g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
-
-
-_gelu_exact.defvjp(_gelu_exact_fwd, _gelu_exact_bwd)
-
-
 def gelu(x: jax.Array) -> jax.Array:
-    """Exact (erf) GELU — torch.nn.functional.gelu default / HF ACT2FN['gelu']."""
-    return _gelu_exact(x)
+    """Exact (erf) GELU — torch.nn.functional.gelu default / HF ACT2FN['gelu'].
+
+    Deliberately NOT a custom VJP: a save-only-x VJP was tried (round 5) —
+    it cut two bf16[24, B, L, 4H] residual stacks (~1.4 GB) from the 0.9B
+    train step but measured SLOWER on-chip (6.80 -> 6.55 steps/s,
+    train_policy_ab_r5.json phase 4): the erf/exp recompute is VPU
+    transcendental work and the step is VPU-bound, not HBM-bound. Same
+    lesson as the remat="names" policy at B=32."""
+    return jax.nn.gelu(x, approximate=False)
 
 
 def gelu_new(x: jax.Array) -> jax.Array:

@@ -236,7 +236,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args)
                                       total=len(data_loader)):
         state, metrics = trainer.train_step(
             state, frozen, db,
-            train_key(args.seed, getattr(args, "rng_impl", "threefry")))
+            train_key(args.seed, getattr(args, "rng_impl", "rbg")))
         loss = float(metrics["loss"])
         if not nf_policy.step(loss, float(metrics["grad_norm"])):
             metric_logger.update(loss=loss)

@@ -70,7 +70,7 @@ def train_one_epoch(state, frozen, trainer, tokenizer, data_loader, epoch, args,
 
     metric_logger = MetricLogger()
     nf_policy = NonfiniteLossPolicy(getattr(args, "skip_nonfinite", 0))
-    rng = train_key(args.seed, getattr(args, "rng_impl", "threefry"))
+    rng = train_key(args.seed, getattr(args, "rng_impl", "rbg"))
     # tokenize + device_put run one batch ahead in a background thread, so
     # the H2D transfer overlaps this step's blocking float(loss) fetch
     from frozenbilm_tpu.data.loader import device_prefetch

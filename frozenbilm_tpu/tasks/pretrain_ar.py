@@ -171,7 +171,7 @@ def main(args):
                                total=len(loader_train)):
             state, metrics = trainer.train_step(
                 state, frozen, db,
-                train_key(args.seed, getattr(args, "rng_impl", "threefry")))
+                train_key(args.seed, getattr(args, "rng_impl", "rbg")))
             loss = float(metrics["loss"])
             if not nf_policy.step(loss, float(metrics["grad_norm"])):
                 ml.update(loss=loss)

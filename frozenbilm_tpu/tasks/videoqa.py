@@ -470,7 +470,7 @@ def main(args):
                     print(f"resumed optimizer; start_epoch={args.start_epoch}")
             if is_main_process():
                 print("number of params:", count_params(state.trainable))
-            rng = train_key(args.seed, getattr(args, "rng_impl", "threefry"))
+            rng = train_key(args.seed, getattr(args, "rng_impl", "rbg"))
             best_acc, best_epoch = 0.0, args.start_epoch
             from frozenbilm_tpu.train.preemption import (
                 PreemptionGuard,
