@@ -365,11 +365,20 @@ def fused_disentangled_attention_isel(
     import os
 
     if hblk is None:
-        hblk = int(os.environ.get("FROZENBILM_ISEL_HBLK", "1") or 1)
+        # on-chip sweep at the MC L=512 shape (mc_isel_sweep_r5.json, v5e):
+        # (h2, bi256) 17.51 q/s > (h1, bi256) 17.03 > (h2, bi128) 16.23 >
+        # (h1, bi128) 16.13 > (h4, bi128) 15.81 — wider query blocks
+        # amortize the full-length k/wq reads, a 2-head block amortizes the
+        # mask/table fetches
+        hblk = int(os.environ.get("FROZENBILM_ISEL_HBLK", "2") or 2)
     if bi is None:
-        bi = int(os.environ.get("FROZENBILM_ISEL_BI", "128") or 128)
+        bi = int(os.environ.get("FROZENBILM_ISEL_BI", "256") or 256)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    L = q.shape[2]
+    bi = min(bi, L)
+    while L % bi:
+        bi //= 2
     return _pallas_dattn_isel(q, k, v, pos_key_r, pos_query_r, mask_1d,
                               scale, hblk=hblk, bi=bi, interpret=interpret)
 

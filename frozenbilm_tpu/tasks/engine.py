@@ -196,6 +196,10 @@ class InflightEngine:
         self.stats = {"requests": 0, "steps": 0, "tokens": 0,
                       "occupancy_sum": 0, "admissions": 0, "failures": 0,
                       "resubmissions": 0,
+                      # device dispatches: decode-chunk programs + admission
+                      # programs — the host-loop cost the batched-admission
+                      # and adaptive-chunk optimizations exist to shrink
+                      "dispatches": 0,
                       # spec mode: emitted tokens / per-row verify steps —
                       # the realized acceptance the speculative bet depends
                       # on (serve.py's auto-off monitor reads these)
@@ -672,6 +676,7 @@ class InflightEngine:
         self._disp[slot] = 1
         with self._lock:
             self.stats["admissions"] += 1
+            self.stats["dispatches"] += 1
         if self._pipeline:
             # defer the first-token fetch to the processing phase: int()
             # here would block on every queued device op (one tunnel round
@@ -733,6 +738,7 @@ class InflightEngine:
                 self._emit(slot, [int(firsts[i])])
         with self._lock:
             self.stats["admissions"] += A
+            self.stats["dispatches"] += 1
 
     def realized_acceptance(self):
         """(acceptance, row_steps): emitted tokens per per-row verify step
@@ -899,6 +905,7 @@ class InflightEngine:
             self._disp[active_snap] += c_now
             with self._lock:
                 self.stats["steps"] += c_now
+                self.stats["dispatches"] += 1
                 self.stats["occupancy_sum"] += int(active_snap.sum()) * c_now
             dispatched = True
             if not self._pipeline:

@@ -745,6 +745,7 @@ class _InflightBatcher:
                     eng.stats["occupancy_sum"] / steps, 3) if steps else None,
                 "engine_failures": eng.stats.get("failures", 0),
                 "engine_resubmissions": eng.stats.get("resubmissions", 0),
+                "engine_dispatches": eng.stats.get("dispatches", 0),
             })
             if eng.spec and eng.stats["occupancy_sum"]:
                 # realized speculation win: tokens emitted per verify step

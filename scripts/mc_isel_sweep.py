@@ -27,7 +27,10 @@ def main():
 
     peak = bench.peak_bf16_flops(jax.devices()[0].device_kind)
     out = {"device_kind": jax.devices()[0].device_kind, "small": small}
-    for hblk, bi in ((1, 128), (2, 128), (4, 128), (1, 256), (2, 256)):
+    spec = os.environ.get("FROZENBILM_ISEL_SWEEP",
+                          "1x128,2x128,4x128,1x256,2x256")
+    variants = [tuple(int(v) for v in s.split("x")) for s in spec.split(",")]
+    for hblk, bi in variants:
         os.environ["FROZENBILM_ISEL_HBLK"] = str(hblk)
         os.environ["FROZENBILM_ISEL_BI"] = str(bi)
         name = f"h{hblk}_bi{bi}"

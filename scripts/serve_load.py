@@ -377,6 +377,8 @@ def run_leg(name):
             # engine variants: occupancy + realized speculation win
             for key in ("engine_avg_occupancy", "engine_tokens_per_step",
                         "engine_admissions", "engine_failures",
+                        "engine_dispatches", "engine_resubmissions",
+                        "spec_realized_acceptance",
                         "spec_auto_disabled_at_acceptance"):
                 if key in stats:
                     r[key] = stats[key]
