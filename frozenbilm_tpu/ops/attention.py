@@ -366,13 +366,14 @@ def fused_disentangled_attention_isel(
 
     if hblk is None:
         # on-chip sweep at the MC L=512 shape (mc_isel_sweep_r5.json, v5e):
-        # (h2, bi256) 17.51 q/s > (h1, bi256) 17.03 > (h2, bi128) 16.23 >
-        # (h1, bi128) 16.13 > (h4, bi128) 15.81 — wider query blocks
-        # amortize the full-length k/wq reads, a 2-head block amortizes the
-        # mask/table fetches
+        # (h2, bi512) 18.27 q/s > (h1, bi512) 18.07 > (h2, bi256) 17.51 >
+        # (h1, bi256) 17.03 > (h2, bi128) 16.23 > (h4, bi128) 15.81 —
+        # wider query blocks win monotonically (at BI=L the p2c window
+        # contraction runs ONCE per (b, h) instead of once per i-block),
+        # and a 2-head block amortizes the mask/table fetches
         hblk = int(os.environ.get("FROZENBILM_ISEL_HBLK", "2") or 2)
     if bi is None:
-        bi = int(os.environ.get("FROZENBILM_ISEL_BI", "256") or 256)
+        bi = int(os.environ.get("FROZENBILM_ISEL_BI", "512") or 512)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = q.shape[2]
