@@ -480,3 +480,49 @@ def test_engine_transient_failure_resubmits_requests():
     th2.join(timeout=5)
     assert "error" in r2
     assert eng2.stats["resubmissions"] == 2
+
+
+def test_engine_batched_admission_exact():
+    """Groups of same-bucket requests admit through ONE batched-prefill
+    program (cache key (bucket, video, A)) and stay token-exact vs the
+    whole-batch decoder; mixed buckets split into groups + singles."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(5)
+    eng = InflightEngine(params, cfg, vt, "gptneo", slots=8, max_len=64,
+                         chunk=2, prompt_buckets=(8, 12), eos_token_id=None,
+                         admit_batch=4, adaptive_chunk=False)
+    prompts = [rng.integers(1, 64, size=n).astype(np.int32)
+               for n in (5, 6, 7, 8, 4, 6, 11, 10)]  # 6x bucket-8, 2x 12
+    tickets = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    eng.drain()
+    keys = set(eng._admit_cache)
+    assert (8, False, 4) in keys, keys  # the bucket-8 four-group compiled
+    assert eng.stats["admissions"] == 8
+    # batched-admit collapses dispatches: 8 singles would be 8; the group
+    # path does 4-group + 2 singles (bucket 8) + 2 singles (bucket 12) = 5
+    for p, t in zip(prompts, tickets):
+        want = _reference_tokens("gptneo", cfg, vt, params, p, (8, 12),
+                                 5, None)
+        got = _get(t)["tokens"]
+        assert got == want, (got, want)
+
+
+def test_engine_adaptive_chunk_exact_and_fewer_dispatches():
+    """With an empty queue and budget >= 2C everywhere, the engine runs the
+    double-length step program: fewer dispatches, identical tokens."""
+    cfg, vt, params = _toy_neo()
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, 64, size=6).astype(np.int32)
+               for _ in range(2)]
+    results = {}
+    for adaptive in (False, True):
+        eng = InflightEngine(params, cfg, vt, "gptneo", slots=2, max_len=64,
+                             chunk=2, prompt_buckets=(8,),
+                             eos_token_id=None, admit_batch=0,
+                             adaptive_chunk=adaptive)
+        tickets = [eng.submit(p, max_new_tokens=13) for p in prompts]
+        eng.drain()
+        toks = [_get(t)["tokens"] for t in tickets]
+        results[adaptive] = (toks, eng.stats["dispatches"])
+    assert results[True][0] == results[False][0]
+    assert results[True][1] < results[False][1], results
