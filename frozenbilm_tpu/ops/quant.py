@@ -341,6 +341,20 @@ def calibrate_act_scales(forward, params: Dict, batches) -> Dict:
     return apply_act_scales(params, stats)
 
 
+def _quantizable(name, child, t_child, min_features: int) -> bool:
+    """Shared predicate: frozen linear dicts with a big-enough kernel."""
+    return (
+        isinstance(child, dict)
+        and name not in QUANT_EXCLUDE_NAMES
+        and "kernel" in child
+        and hasattr(child["kernel"], "ndim")
+        and child["kernel"].ndim >= 2
+        and child["kernel"].shape[-2] >= min_features
+        and not (isinstance(t_child, dict) and any(
+            bool(v) for v in jax.tree.leaves(t_child)))
+    )
+
+
 def quantize_tree(params: Dict, trainable: Dict | None = None,
                   min_features: int = 64, mode: str = "w8a8") -> Dict:
     """Replace frozen linear kernels in a nested param dict with quantized
@@ -361,17 +375,69 @@ def quantize_tree(params: Dict, trainable: Dict | None = None,
         out = {}
         for name, child in node.items():
             t_child = None if train_node is None else train_node.get(name)
-            if (
-                isinstance(child, dict)
-                and name not in QUANT_EXCLUDE_NAMES
-                and "kernel" in child
-                and hasattr(child["kernel"], "ndim")
-                and child["kernel"].ndim >= 2
-                and child["kernel"].shape[-2] >= min_features
-                and not (isinstance(t_child, dict) and any(
-                    bool(v) for v in jax.tree.leaves(t_child)))
-            ):
+            if _quantizable(name, child, t_child, min_features):
                 out[name] = quant_one(child)
+            else:
+                out[name] = walk(child, t_child)
+        return out
+
+    return walk(params, trainable)
+
+
+def quantize_tree_lowmem(params: Dict, trainable: Dict | None = None,
+                         min_features: int = 64, mode: str = "w8a8") -> Dict:
+    """quantize_tree with a BOUNDED HBM peak, for trees near the chip limit.
+
+    The one-jit quantize upcasts each kernel to f32 inside the program
+    (quantize_linear_params); at GPT-J-6B that schedules multi-GB f32
+    temps next to the 11.3 GB bf16 source tree and exceeds a 16 GB v5e —
+    the serve_load generate6b_int8 leg OOM'd exactly there (the failure
+    surfaced asynchronously at the NEXT dispatch, as a RESOURCE_EXHAUSTED
+    during an unrelated constant transfer: diag_6b_probe.py shows this
+    backend sticks in the error state). bench.py's 6B int8 legs never hit
+    this because they build random int8 trees directly (bench.py:542).
+
+    Strategy: one jitted call PER quantizable kernel, donating that kernel
+    so its bf16 buffer dies as its int8 twin appears, and — for
+    scan-stacked (L, in, out) kernels — lax.map over the layer axis inside
+    the jit, so the f32 temps stay one layer big. Peak = live tree + one
+    LAYER slice instead of live tree + the whole tree in f32. The math is
+    identical per (layer, out_channel), so results are bit-identical to
+    quantize_tree; the cost is ~10 small dispatches instead of one
+    (startup-only; per-leaf eager dispatch is the thing CLAUDE.md warns
+    about and this is NOT that — it's per-KERNEL, a handful of calls).
+
+    Call this eagerly (NOT under jit): each inner jit must dispatch and
+    free before the next starts.
+    """
+    quant_one = {"w8a8": quantize_linear_params,
+                 "w4": quantize_linear_params_w4}[mode]
+    jitted: Dict = {}  # (shape, dtype) -> compiled fn, shared across layers
+
+    def q_dict(child):
+        k = child["kernel"]
+
+        def fn(kk):
+            if kk.ndim == 3:
+                return jax.lax.map(lambda w: quant_one({"kernel": w}), kk)
+            return quant_one({"kernel": kk})
+
+        sig = (tuple(k.shape), str(getattr(k, "dtype", "np")))
+        if sig not in jitted:
+            jitted[sig] = jax.jit(fn, donate_argnums=(0,))
+        out = dict(jitted[sig](k))
+        if "bias" in child:
+            out["bias"] = child["bias"]
+        return out
+
+    def walk(node, train_node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            t_child = None if train_node is None else train_node.get(name)
+            if _quantizable(name, child, t_child, min_features):
+                out[name] = q_dict(child)
             else:
                 out[name] = walk(child, t_child)
         return out

@@ -138,15 +138,26 @@ def apply_quantization(params: Dict, vt: VideoTextConfig, mode: str,
         raise ValueError(f"unknown --quantize mode {mode!r}")
     import jax
 
-    from frozenbilm_tpu.ops.quant import quantize_tree
+    from frozenbilm_tpu.ops.quant import quantize_tree, quantize_tree_lowmem
 
     quant_mode = "w4" if mode == "w4" else "w8a8"
     mask = trainable_mask(params, vt)
-    # donate=True lets XLA free each source leaf as its int8 twin is built
-    # (a caller that drops its reference, e.g. serving): without it the
-    # bf16 + int8 trees coexist — 12 + 6 GB for GPT-J-6B, an HBM OOM.
-    return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode),
-                   donate_argnums=(0,) if donate else ())(params)
+    if donate:
+        # donation lets the bf16 source die as its int8 twin is built
+        # (a caller that drops its reference, e.g. serving): without it
+        # the bf16 + int8 trees coexist — 12 + 6 GB for GPT-J-6B, an OOM.
+        # Near the chip limit even the ONE-JIT quantize OOMs: its f32
+        # upcast temps schedule next to the whole source tree (measured:
+        # serve_load r4/r5 generate6b_int8 legs died there, asynchronously
+        # — see ops/quant.quantize_tree_lowmem). Per-kernel donated jits
+        # with lax.map over stacked layers bound the peak; bit-identical.
+        total = sum(
+            getattr(l, "nbytes", 0) for l in jax.tree.leaves(params))
+        if total > 4e9:
+            return quantize_tree_lowmem(params, mask, mode=quant_mode)
+        return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode),
+                       donate_argnums=(0,))(params)
+    return jax.jit(lambda p: quantize_tree(p, mask, mode=quant_mode))(params)
 
 
 def reject_quantized_for_training(params: Dict, eval_mode: bool) -> None:

@@ -52,9 +52,9 @@ def main():
         "--quantize", "w8a8", "--serve_inflight", "2",
         "--serve_inflight_chunk", "8", "--serve_admit_batch", "0",
     ]
-    from frozenbilm_tpu.config import get_args_parser
+    from frozenbilm_tpu.tasks.serve import get_serve_parser
 
-    args = get_args_parser().parse_args(argv)
+    args = get_serve_parser().parse_args(argv)
 
     import jax
 

@@ -16,6 +16,7 @@ from frozenbilm_tpu.ops.quant import (
     linear_w8a8,
     quantize_linear_params,
     quantize_tree,
+    quantize_tree_lowmem,
 )
 
 
@@ -77,6 +78,25 @@ def _toy_deberta(hidden=128, n_ans=11):
     video = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
     vm = jnp.ones((2, 4), jnp.int32)
     return m, cfg, vt, params, (ids, am, video, vm)
+
+
+@pytest.mark.parametrize("mode", ["w8a8", "w4"])
+def test_quantize_tree_lowmem_bit_identical(mode):
+    """The bounded-peak per-kernel path (6B serving OOM fix) must produce
+    the exact arrays of the one-jit quantize_tree: same skip predicate
+    (trainable mask, min_features), same stacked-layer scales, same bits."""
+    from frozenbilm_tpu.train.partition import trainable_mask
+
+    m, cfg, vt, params, _ = _toy_deberta()
+    mask = trainable_mask(params, vt)
+    # copy the source tree: lowmem donates its kernels
+    src = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    ref = jax.jit(lambda p: quantize_tree(p, mask, min_features=64,
+                                          mode=mode))(params)
+    low = quantize_tree_lowmem(src, mask, min_features=64, mode=mode)
+    assert jax.tree.structure(ref) == jax.tree.structure(low)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(low)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_quantize_tree_scopes_to_frozen_linears():
