@@ -66,6 +66,15 @@ from frozenbilm_tpu.tasks.videoqa import make_qa_steps
 from frozenbilm_tpu.utils.checkpoint import load_any_checkpoint
 
 
+def _ckpt_weights_present(path: str) -> bool:
+    """Would load_any_checkpoint find weights under this dir? (Mirrors its
+    file probes so callers can branch BEFORE materializing params.)"""
+    return os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, n))
+        for n in ("params.npz", "params_orbax", "pytorch_model.bin",
+                  "model.safetensors"))
+
+
 def _load_serving_params(args, bundle, tokenizer_needed: bool = False):
     """Shared param plumbing: init -> base weights -> --load -> dtype/quant.
 
@@ -73,14 +82,41 @@ def _load_serving_params(args, bundle, tokenizer_needed: bool = False):
     init is minutes-slow over a remote-TPU tunnel, and materializing the
     f32 tree before casting OOMs HBM for GPT-J-6B (24 GB f32 vs the v5e's
     16 — inside the jit each leaf's f32 buffer dies at its convert, so
-    peak is the bf16 tree + one leaf)."""
+    peak is the bf16 tree + one leaf).
+
+    When quantizing WITHOUT a checkpoint to overlay, the quantize fuses
+    into the SAME jit: the bf16 tree then never exists as a persistent
+    allocation at all — XLA's scheduler retires each bf16 leaf at its int8
+    convert, so the 6B program peaks at 9.4 GB (out 5.66 + one 3.76 GB
+    kernel temp, compiled memory_analysis via diag_6b_memanalysis.py)
+    instead of 11.3 GB resident + quantize on top. The two-phase
+    init-then-quantize sequence left the allocator unable to serve even a
+    0.5 GB request afterwards on the axon backend (diag_6b_probe.py) —
+    engine warm then died on the first admission. Checkpointed 6B trees
+    should be quantized OFFLINE (scripts/convert.py --quantize) for the
+    same reason."""
     from frozenbilm_tpu.train.partition import apply_param_dtype
+
+    base_dir = args.tokenizer_path or os.path.join(
+        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
+    has_ckpt = _ckpt_weights_present(base_dir) or bool(args.load)
+    if getattr(args, "quantize", "") in ("w8a8", "w4") and not has_ckpt:
+        from frozenbilm_tpu.ops.quant import quantize_tree
+        from frozenbilm_tpu.train.partition import trainable_mask
+
+        qmode = "w4" if args.quantize == "w4" else "w8a8"
+
+        def build(k):
+            p = apply_param_dtype(
+                bundle.init_params(k), bundle.vt, args.param_dtype)
+            return quantize_tree(p, trainable_mask(p, bundle.vt),
+                                 mode=qmode)
+
+        return jax.jit(build)(jax.random.PRNGKey(args.seed))
 
     params = jax.jit(lambda k: apply_param_dtype(
         bundle.init_params(k), bundle.vt, args.param_dtype))(
             jax.random.PRNGKey(args.seed))
-    base_dir = args.tokenizer_path or os.path.join(
-        os.environ.get("TRANSFORMERS_CACHE", ""), args.model_name)
     if os.path.isdir(base_dir):
         try:
             params = load_any_checkpoint(base_dir, params, bundle.cfg,
@@ -94,8 +130,13 @@ def _load_serving_params(args, bundle, tokenizer_needed: bool = False):
 
 
 def _finalize_params(args, bundle, params):
+    from frozenbilm_tpu.ops.quant import is_quantized
     from frozenbilm_tpu.train.partition import apply_param_dtype, apply_quantization
 
+    if is_quantized(params):
+        # fused init+quantize path (or a convert.py --quantize checkpoint):
+        # already cast + quantized; re-casting would bf16 the f32 scales
+        return params
     params = jax.tree.map(jnp.asarray, params)
     params = apply_param_dtype(params, bundle.vt, args.param_dtype)
     return apply_quantization(params, bundle.vt, args.quantize, donate=True)
