@@ -258,7 +258,25 @@ def test_inspect_ckpt_cli(tmp_path, capsys):
     assert "adapter/down" in out
 
 
-def test_pretrain_production_flag_combo(tmp_path):
+@pytest.fixture
+def _restore_compile_cache_config():
+    """--compile_cache sets PROCESS-GLOBAL jax config (setup_runtime); left
+    enabled it makes every later test's compiles write cache entries into
+    this test's tmp_path — a full-suite run segfaulted inside
+    compilation_cache.put_executable_and_time during test_trainer
+    (pytest_r5: cache write active in an unrelated CPU pjit). Restore."""
+    import jax
+
+    old = (jax.config.jax_compilation_cache_dir,
+           jax.config.jax_persistent_cache_min_compile_time_secs,
+           jax.config.jax_persistent_cache_min_entry_size_bytes)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old[0])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old[1])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", old[2])
+
+
+def test_pretrain_production_flag_combo(tmp_path, _restore_compile_cache_config):
     """All round-2 production knobs together through the CLI: async orbax
     checkpoints + retention + grad accumulation + non-finite skipping +
     compile cache. Guards against flag-interaction regressions."""
