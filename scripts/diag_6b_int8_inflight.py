@@ -81,30 +81,39 @@ def main():
         buckets.append(b)
         b *= 2
     buckets.append(args.max_tokens)
+    # pipeline=False: every admission fetches its first token SYNCHRONOUSLY,
+    # so an async RESOURCE_EXHAUSTED inside an admission execution surfaces
+    # AT that admission instead of at the next unrelated device sync (the
+    # pipelined warm died at the step trace's constant transfer, which only
+    # says "something before me failed")
     engine = InflightEngine(
         params, bundle.cfg, bundle.vt, family_of(args.model_name),
         spec_draft=0, slots=2, max_len=10 + 32 + 16, chunk=8,
         prompt_buckets=buckets, eos_token_id=None, pad_token_id=0,
         top_k=0, top_p=0.0, kv_int8=False, rng_seed=0, max_new_cap=16,
-        pipeline=True, admit_batch=0, adaptive_chunk=True)
+        pipeline=False, admit_batch=0, adaptive_chunk=True)
     hbm("after InflightEngine ctor")
 
-    # warm() = admissions for every bucket (+video) then drain/step_once;
-    # split it so the failing stage is unambiguous
+    import numpy as np
+
     try:
-        engine.warm(with_video=True)
-        hbm("after warm (admissions + step)")
+        for b in engine.buckets:
+            for vid in (None, np.zeros((10, 768), np.float32)):
+                tag = f"admit b={b} video={vid is not None}"
+                engine.submit(np.full(b, engine.pad, np.int32), video=vid,
+                              max_new_tokens=1)
+                ok = engine.step_once()  # sync admission (pipeline off)
+                print(f"[stage] {tag}: step_once={ok}", flush=True)
+        while engine._active.any() or not engine._waiting.empty():
+            engine.step_once()
+        print("[stage] drained", flush=True)
     except Exception as e:
-        hbm("AT FAILURE")
         import traceback
 
         traceback.print_exc()
         print(f"FAILED: {type(e).__name__}", flush=True)
         return 1
-    # a couple of real steps to confirm steady state
     engine.step_once()
-    engine.step_once()
-    hbm("after 2 extra steps")
     print("OK", flush=True)
     return 0
 

@@ -53,7 +53,7 @@ def main():
     # throws poisons every later dispatch (measured: after an OOM'd probe
     # even PRNGKey(0) dies), so each stage needs a fresh process.
     stage = sys.argv[1] if len(sys.argv) > 1 else "quant"
-    assert stage in ("empty", "init", "initdel", "quant", "warm")
+    assert stage in ("empty", "init", "initdel", "quant", "warm", "steponly")
 
     import serve_load
 
@@ -130,6 +130,25 @@ def main():
         top_k=0, top_p=0.0, kv_int8=False, rng_seed=0, max_new_cap=16,
         pipeline=True, admit_batch=0, adaptive_chunk=True)
     import numpy as np
+
+    if stage == "steponly":
+        # trace + run the decode step program with NO admissions: if this
+        # alone dies, the int8 6B step program itself is the problem; if
+        # it passes, the admission executables' footprint is
+        import jax.numpy as jnp2
+
+        active = jnp2.asarray(np.array([True, False]))
+        try:
+            state2, toks = engine._step_fn(engine.params, engine.state,
+                                           active, engine._rng, np.int32(0))
+            print(f"[steponly] step program traced+ran: toks {np.asarray(toks).shape}",
+                  flush=True)
+            engine.state = state2
+            probe_free_gb("after step-only (no admissions)")
+        except Exception as e:
+            print(f"[steponly] STEP PROGRAM FAILED: {e!r}"[:300], flush=True)
+            return 1
+        return 0
 
     # admissions only (what warm does before drain): all buckets x video
     for b in engine.buckets:
